@@ -1,0 +1,65 @@
+"""DDM setup orchestration: discretization -> partition -> topology.
+
+The analogue of the reference's setup chain
+``make_grid -> loadBalance -> make_communication ->
+make_overlapping_communication`` (examples/poisson.cc:87-139 +
+dune/ddm/pdelab_helper.hh:15-94 + overlap_extension.hh:54-285), collapsed
+into pure host-side precomputation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fem.discretize import Discretization
+from .indexmaps import (
+    DDMTopology,
+    build_topology,
+    dof_membership_from_elems,
+    dof_owner_lowest,
+    partition_rcb,
+    partition_structured,
+)
+
+
+def partition_elements(
+    disc: Discretization,
+    n_sub: int | None = None,
+    parts: tuple[int, ...] | None = None,
+) -> np.ndarray:
+    """Element partition: structured block partition when the grid is
+    structured and ``parts`` is given (YaspGrid PowerD equivalent), otherwise
+    recursive coordinate bisection (ParMETIS replacement)."""
+    grid = disc.grid
+    if parts is not None:
+        if grid.shape is None:
+            raise ValueError("parts= requires a structured grid")
+        return partition_structured(grid.shape, parts)
+    if n_sub is None:
+        raise ValueError("pass n_sub or parts")
+    return partition_rcb(grid.elem_centroids(), n_sub)
+
+
+def setup_topology(
+    disc: Discretization,
+    overlap: int,
+    n_sub: int | None = None,
+    parts: tuple[int, ...] | None = None,
+    elem_part: np.ndarray | None = None,
+    pad_to: int = 8,
+) -> tuple[DDMTopology, np.ndarray]:
+    """Build the overlapping DDM topology for a discretization.
+
+    Returns (topology, elem_part)."""
+    if elem_part is None:
+        elem_part = partition_elements(disc, n_sub=n_sub, parts=parts)
+    n_parts = int(elem_part.max()) + 1
+    adj = disc.adjacency()
+    M0 = dof_membership_from_elems(
+        disc.grid.elems, elem_part, disc.n_dofs, n_parts, n_comp=disc.n_comp
+    )
+    owner = dof_owner_lowest(
+        disc.grid.elems, elem_part, disc.n_dofs, n_comp=disc.n_comp
+    )
+    topo = build_topology(adj, M0, owner, overlap, pad_to=pad_to)
+    return topo, elem_part

@@ -1,0 +1,257 @@
+"""Batched FEM assembly in JAX.
+
+Replaces PDELab's GridOperator + local operators (reference:
+ConvectionDiffusionFEM et al., driven via examples/generic_ddm_problem.hh).
+Instead of per-element loops, *all* element stiffness matrices are computed as
+one batched device op (the MXU/VPU-friendly formulation), then scattered into
+the global ELL matrix through the precomputed COO->slot map
+(core/sparse.py:EllPattern).
+
+Scalar convection-diffusion form (reference: ConvectionDiffusionFEM):
+
+    a(u,v) = ∫ α ∇u·∇v + (b·∇u) v + c u v ,   rhs ∫ f v
+
+with per-quadrature-point coefficients supplied by a :class:`Problem`
+(fem/problems.py), the analogue of the reference's Lua-scripted coefficient
+classes (examples/poisson_problems.hh, convection_diffusion_problems.hh).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .grids import Grid
+
+# -- reference-element quadrature + shape functions --------------------------
+
+_GPT = 1.0 / np.sqrt(3.0)
+
+
+def _quad_rule(elem_type: str):
+    """Returns (points (q, d), weights (q,)) on the reference element."""
+    if elem_type == "tri":
+        # degree-2, 3 points, area 1/2
+        pts = np.array([[1 / 6, 1 / 6], [2 / 3, 1 / 6], [1 / 6, 2 / 3]])
+        w = np.full(3, 1 / 6)
+    elif elem_type == "tet":
+        a, b = 0.5854101966249685, 0.1381966011250105
+        pts = np.array(
+            [[b, b, b], [a, b, b], [b, a, b], [b, b, a]]
+        )
+        w = np.full(4, 1 / 24)
+    elif elem_type in ("quad", "hex"):
+        d = 2 if elem_type == "quad" else 3
+        g1 = np.array([0.5 - 0.5 * _GPT, 0.5 + 0.5 * _GPT])
+        grids = np.meshgrid(*([g1] * d), indexing="ij")
+        pts = np.stack([g.ravel() for g in grids], axis=-1)
+        w = np.full(2**d, 0.5**d)
+    else:
+        raise ValueError(elem_type)
+    return pts, w
+
+
+def _shape_funs(elem_type: str, pts: np.ndarray):
+    """phi (q, nd) and dphi (q, nd, d) at reference points."""
+    if elem_type == "tri":
+        x, y = pts[:, 0], pts[:, 1]
+        phi = np.stack([1 - x - y, x, y], axis=-1)
+        dphi = np.broadcast_to(
+            np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]]), (pts.shape[0], 3, 2)
+        ).copy()
+    elif elem_type == "tet":
+        x, y, z = pts.T
+        phi = np.stack([1 - x - y - z, x, y, z], axis=-1)
+        dphi = np.broadcast_to(
+            np.array(
+                [[-1.0, -1.0, -1.0], [1, 0, 0], [0, 1, 0], [0, 0, 1]]
+            ),
+            (pts.shape[0], 4, 3),
+        ).copy()
+    elif elem_type in ("quad", "hex"):
+        d = 2 if elem_type == "quad" else 3
+        nd = 2**d
+        q = pts.shape[0]
+        phi = np.ones((q, nd))
+        dphi = np.ones((q, nd, d))
+        for i in range(nd):
+            for dd in range(d):
+                bit = (i >> dd) & 1
+                f = pts[:, dd] if bit else 1 - pts[:, dd]
+                df = 1.0 if bit else -1.0
+                phi[:, i] *= f
+                for other in range(d):
+                    if other == dd:
+                        dphi[:, i, other] *= df
+                    else:
+                        dphi[:, i, other] *= f
+    else:
+        raise ValueError(elem_type)
+    return phi, dphi
+
+
+class ElementQuadrature:
+    """Static (host-precomputed) reference-element data for an element type."""
+
+    def __init__(self, elem_type: str):
+        self.elem_type = elem_type
+        pts, w = _quad_rule(elem_type)
+        phi, dphi = _shape_funs(elem_type, pts)
+        self.ref_pts = jnp.asarray(pts)  # (q, d)
+        self.weights = jnp.asarray(w)  # (q,)
+        self.phi = jnp.asarray(phi)  # (q, nd)
+        self.dphi = jnp.asarray(dphi)  # (q, nd, d)
+
+
+def _det_inv_small(J: jnp.ndarray):
+    """Closed-form det + inverse for batched 2x2 / 3x3 Jacobians.
+
+    (f64 LU decomposition does not compile on the TPU backend, and adjugate
+    formulas beat batched LU for tiny matrices on the VPU anyway.)
+    """
+    d = J.shape[-1]
+    if d == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, e = J[..., 1, 0], J[..., 1, 1]
+        det = a * e - b * c
+        inv = jnp.stack(
+            [jnp.stack([e, -b], -1), jnp.stack([-c, a], -1)], -2
+        ) / det[..., None, None]
+        return det, inv
+    if d == 3:
+        m = J
+        c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+        c01 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+        c02 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+        det = m[..., 0, 0] * c00 + m[..., 0, 1] * c01 + m[..., 0, 2] * c02
+        c10 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+        c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+        c12 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+        c20 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+        c21 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+        c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+        inv = jnp.stack(
+            [
+                jnp.stack([c00, c10, c20], -1),
+                jnp.stack([c01, c11, c21], -1),
+                jnp.stack([c02, c12, c22], -1),
+            ],
+            -2,
+        ) / det[..., None, None]
+        return det, inv
+    raise ValueError(f"unsupported dimension {d}")
+
+
+def element_geometry(quad: ElementQuadrature, xe: jnp.ndarray):
+    """Per-quadrature-point geometry for a batch of elements.
+
+    xe: (n_e, nd, d) vertex coordinates.
+    Returns (xq (n_e, q, d) physical points, grads (n_e, q, nd, d) physical
+    shape gradients, jxw (n_e, q) |det J| * weight).
+    """
+    # physical points: x(q) = sum_i phi_i(q) x_i
+    xq = jnp.einsum("qi,eid->eqd", quad.phi, xe)
+    # Jacobian dx/dxi: (n_e, q, d, d)
+    J = jnp.einsum("qid,eig->eqgd", quad.dphi, xe)
+    detJ, Jinv = _det_inv_small(J)
+    # physical gradient: dphi_ref @ J^{-1}
+    grads = jnp.einsum("qid,eqdg->eqig", quad.dphi, Jinv)
+    jxw = jnp.abs(detJ) * quad.weights[None, :]
+    return xq, grads, jxw
+
+
+def assemble_convection_diffusion(
+    quad: ElementQuadrature,
+    xe: jnp.ndarray,
+    alpha_fn,
+    b_fn=None,
+    c_fn=None,
+    f_fn=None,
+):
+    """Batched element matrices/vectors for the convection-diffusion form.
+
+    xe: (n_e, nd, d).  Coefficient callables map (..., d) -> scalar
+    ((..., d) -> (..., d) for the convection field ``b_fn``).
+    Returns (Ke (n_e, nd, nd), fe (n_e, nd)).
+    """
+    xq, grads, jxw = element_geometry(quad, xe)
+    alpha = alpha_fn(xq)  # (n_e, q)
+    Ke = jnp.einsum("eq,eqig,eqjg->eij", jxw * alpha, grads, grads)
+    if b_fn is not None:
+        b = b_fn(xq)  # (n_e, q, d)
+        # + (b . grad u_j) v_i
+        Ke = Ke + jnp.einsum("eq,qi,eqd,eqjd->eij", jxw, quad.phi, b, grads)
+    if c_fn is not None:
+        c = c_fn(xq)
+        Ke = Ke + jnp.einsum("eq,qi,qj->eij", jxw * c, quad.phi, quad.phi)
+    if f_fn is not None:
+        f = f_fn(xq)
+        fe = jnp.einsum("eq,qi->ei", jxw * f, quad.phi)
+    else:
+        fe = jnp.zeros(Ke.shape[:2], Ke.dtype)
+    return Ke, fe
+
+
+def assemble_linear_elasticity(
+    quad: ElementQuadrature,
+    xe: jnp.ndarray,
+    lame_lambda_fn,
+    lame_mu_fn,
+    f_fn=None,
+):
+    """Batched element matrices for linear elasticity (vector P1/Q1).
+
+    Form: ∫ 2 μ ε(u):ε(v) + λ (div u)(div v),  rhs ∫ f·v
+    (reference: dune-pdelab LinearElasticity local operator, used by
+    examples/linearelasticity.cc).
+
+    DOF ordering within the element: node-major, component-minor, i.e.
+    dof (i, c) -> i * d + c.  Returns (Ke (n_e, nd*d, nd*d), fe (n_e, nd*d)).
+    """
+    xq, grads, jxw = element_geometry(quad, xe)
+    n_e, q, nd, d = grads.shape
+    lam = lame_lambda_fn(xq)  # (n_e, q)
+    mu = lame_mu_fn(xq)
+
+    # div(phi_ic) = grads[:,:,i,c]; eps(u_ic):eps(v_jk):
+    # 0.5*(grad_c phi_i e_c + ...) contraction works out to
+    #   0.5 * ( delta_ck (grad phi_i . grad phi_j) + dphi_i/dx_k dphi_j/dx_c )
+    gg = jnp.einsum("eqig,eqjg->eqij", grads, grads)  # (e,q,i,j)
+    cross = jnp.einsum("eqik,eqjc->eqijck", grads, grads)  # d_i/dk * d_j/dc -> careful
+    # eps(u):eps(v) for u = phi_j e_c, v = phi_i e_k:
+    #   0.5 * ( delta_ck gg_ij + dphi_j/dx_k * dphi_i/dx_c )
+    eye = jnp.eye(d)
+    eps_term = 0.5 * (
+        jnp.einsum("ck,eqij->eqijck", eye, gg)
+        + jnp.einsum("eqjk,eqic->eqijck", grads, grads)
+    )
+    div_term = jnp.einsum("eqjc,eqik->eqijck", grads, grads)
+    Kfull = jnp.einsum("eq,eqijck->eijck", jxw * 2 * mu, eps_term) + jnp.einsum(
+        "eq,eqijck->eijck", jxw * lam, div_term
+    )
+    # reorder (i, k; j, c) -> rows (i*d + k), cols (j*d + c)
+    Ke = Kfull.transpose(0, 1, 4, 2, 3).reshape(n_e, nd * d, nd * d)
+    if f_fn is not None:
+        f = f_fn(xq)  # (n_e, q, d)
+        fe = jnp.einsum("eq,qi,eqc->eic", jxw, quad.phi, f).reshape(n_e, nd * d)
+    else:
+        fe = jnp.zeros((n_e, nd * d), Ke.dtype)
+    return Ke, fe
+
+
+def element_coo_indices(elems: np.ndarray, n_comp: int = 1):
+    """Host: (rows, cols) COO index arrays for element matrices.
+
+    elems: (n_e, nd) node connectivity.  With ``n_comp`` > 1, dofs are blocked
+    node-major/component-minor (matching assemble_linear_elasticity).
+    Order matches ``Ke.reshape(-1)`` of an (n_e, nd*c, nd*c) batch.
+    """
+    n_e, nd = elems.shape
+    if n_comp == 1:
+        dofs = elems
+    else:
+        dofs = (elems[:, :, None] * n_comp + np.arange(n_comp)).reshape(n_e, nd * n_comp)
+    nl = dofs.shape[1]
+    rows = np.repeat(dofs, nl, axis=1).reshape(-1)
+    cols = np.tile(dofs, (1, nl)).reshape(-1)
+    return rows, cols

@@ -1,0 +1,111 @@
+"""Discretization driver: grid + problem -> global system + DDM inputs.
+
+The analogue of the reference's ``GenericDDMProblem``
+(examples/generic_ddm_problem.hh:48-407): owns the function space (here:
+nodal P1/Q1 dofs), constraints (Dirichlet masks + interpolated boundary
+values), and assembly of the global operator, and feeds the DDM layers.
+
+The constrained system follows the standard correction form: with ``g`` the
+Dirichlet interpolant (nonzero only at constrained dofs), solve
+
+    A_c z = b - A g,   rhs zeroed at Dirichlet dofs,  u = g + z
+
+where A_c is the symmetrically-eliminated matrix
+(examples/pdelab_helper.hh:33-46 semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sps
+
+from ..core.sparse import EllPattern, SparseELL, eliminate_dirichlet
+from .assemble import (
+    ElementQuadrature,
+    assemble_convection_diffusion,
+    assemble_linear_elasticity,
+    element_coo_indices,
+)
+from .grids import Grid
+from .problems import ElasticityProblem, Problem
+
+
+@dataclass
+class Discretization:
+    grid: Grid
+    problem: Problem | ElasticityProblem
+    n_comp: int = 1
+
+    def __post_init__(self):
+        self.quad = ElementQuadrature(self.grid.elem_type)
+        self.xe = jnp.asarray(self.grid.nodes[self.grid.elems])
+        self.n_dofs = self.grid.n_nodes * self.n_comp
+        rows, cols = element_coo_indices(self.grid.elems, self.n_comp)
+        self.pattern = EllPattern.from_coo(rows, cols, self.n_dofs)
+        if self.n_comp == 1:
+            self._dof_scatter = jnp.asarray(self.grid.elems.reshape(-1))
+        else:
+            dofs = (
+                self.grid.elems[:, :, None] * self.n_comp + np.arange(self.n_comp)
+            ).reshape(-1)
+            self._dof_scatter = jnp.asarray(dofs)
+
+    # -- masks / boundary data --------------------------------------------
+    @cached_property
+    def dirichlet_mask(self) -> jnp.ndarray:
+        """(n_dofs,) bool — physical-boundary nodes selected by the problem."""
+        xs = jnp.asarray(self.grid.nodes)
+        node_mask = jnp.asarray(self.grid.boundary_nodes()) & self.problem.is_dirichlet(
+            xs
+        )
+        if self.n_comp == 1:
+            return node_mask
+        return jnp.repeat(node_mask, self.n_comp)
+
+    @cached_property
+    def dirichlet_values(self) -> jnp.ndarray:
+        xs = jnp.asarray(self.grid.nodes)
+        g = self.problem.g(xs)
+        if self.n_comp == 1:
+            gv = g
+        else:
+            gv = g.reshape(-1)
+        return jnp.where(self.dirichlet_mask, gv, 0.0)
+
+    # -- assembly ----------------------------------------------------------
+    def element_matrices(self, problem: Problem | ElasticityProblem | None = None):
+        """Batched (Ke, fe); re-run with a modified problem (e.g.
+        ``problem.symmetrized()``) for eigenproblem operators."""
+        p = problem or self.problem
+        if isinstance(p, ElasticityProblem):
+            return assemble_linear_elasticity(self.quad, self.xe, p.lam, p.mu, p.f)
+        return assemble_convection_diffusion(self.quad, self.xe, p.alpha, p.b, p.c, p.f)
+
+    def assemble(self, problem=None) -> tuple[SparseELL, jnp.ndarray]:
+        """Unconstrained global (A, b)."""
+        Ke, fe = self.element_matrices(problem)
+        A = self.pattern.assemble(Ke.reshape(-1))
+        b = jnp.zeros(self.n_dofs, Ke.dtype).at[self._dof_scatter].add(fe.reshape(-1))
+        return A, b
+
+    def constrained_system(self, problem=None):
+        """(A_c, rhs, g) with symmetric Dirichlet elimination."""
+        A, b = self.assemble(problem)
+        g = self.dirichlet_values
+        rhs = b - A.mv(g)
+        rhs = jnp.where(self.dirichlet_mask, 0.0, rhs)
+        Ac = eliminate_dirichlet(A, self.dirichlet_mask)
+        return Ac, rhs, g
+
+    # -- DDM inputs --------------------------------------------------------
+    def adjacency(self) -> sps.csr_matrix:
+        """Structurally-symmetric matrix-graph adjacency (pattern only)."""
+        p = self.pattern
+        return sps.csr_matrix(
+            (np.ones(p.rows_csr.size), (p.rows_csr, p.cols_csr)),
+            shape=(self.n_dofs, self.n_dofs),
+        )

@@ -1,0 +1,67 @@
+"""Device-side extraction of batched dense subdomain matrices.
+
+Turns the global ELL operator into the overlapping subdomain ("Dirichlet")
+matrices A_dir of the reference (examples/pdelab_helper.hh:134-138 +
+CreateMatrix/AddMatrixDataHandle, dune/ddm/datahandles.hh:436-591): row p of
+subdomain k is global row sub2glob[k, p] with entries whose columns fall
+outside the subdomain dropped.  Because the global matrix is fully assembled,
+every extracted row carries the complete global values — the same result the
+reference obtains by summing per-rank contributions over the overlap
+interface.
+
+The extraction is one batched scatter through the host-precomputed
+``local_cols`` map (core/indexmaps.py:extraction_map) and is jittable, so
+Newton-style matrix refreshes re-extract on device at full HBM bandwidth.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.sparse import SparseELL
+
+
+def extract_subdomain_dense(
+    ell: SparseELL,
+    sub2glob: jnp.ndarray,  # (n_sub, n_pad) int32, pad == n_glob
+    valid: jnp.ndarray,  # (n_sub, n_pad) bool
+    local_cols: jnp.ndarray,  # (n_sub, n_pad, m) int32, dummy == n_pad
+    unit_padding_diag: bool = True,
+) -> jnp.ndarray:
+    """Returns A_sub (n_sub, n_pad, n_pad) dense.
+
+    Padding rows/cols are zero except unit diagonal (so the batch factors
+    cleanly).
+    """
+    n_sub, n_pad = sub2glob.shape
+    n = ell.n
+    rows = jnp.minimum(sub2glob, n - 1)
+    vals = ell.vals[rows] * valid[:, :, None]  # (n_sub, n_pad, m)
+    A = jnp.zeros((n_sub, n_pad, n_pad + 1), vals.dtype)
+    k_idx = jnp.arange(n_sub)[:, None, None]
+    p_idx = jnp.arange(n_pad)[None, :, None]
+    A = A.at[k_idx, p_idx, local_cols].add(vals)
+    A = A[..., :n_pad]
+    if unit_padding_diag:
+        diag = jnp.where(valid, 0.0, 1.0)
+        A = A + jnp.eye(n_pad, dtype=A.dtype)[None, :, :] * diag[:, :, None]
+    return A
+
+
+def gather_subdomain(x: jnp.ndarray, sub2glob: jnp.ndarray) -> jnp.ndarray:
+    """Global (n,) or (n, k) -> subdomain-local (n_sub, n_pad[, k]);
+    the device analogue of copyOwnerToAll restriction (schwarz.hh:122-125)."""
+    pad_shape = (1,) + x.shape[1:]
+    xp = jnp.concatenate([x, jnp.zeros(pad_shape, x.dtype)])
+    return xp[sub2glob]
+
+
+def scatter_add_subdomain(
+    x_sub: jnp.ndarray, sub2glob: jnp.ndarray, n_glob: int
+) -> jnp.ndarray:
+    """Subdomain-local (n_sub, n_pad[, k]) -> global (n[, k]) by summation;
+    the device analogue of addOwnerCopyToOwnerCopy (schwarz.hh:138-142)."""
+    trail = x_sub.shape[2:]
+    out = jnp.zeros((n_glob + 1,) + trail, x_sub.dtype)
+    out = out.at[sub2glob.reshape(-1)].add(x_sub.reshape((-1,) + trail))
+    return out[:n_glob]

@@ -1,0 +1,193 @@
+"""Batched dense direct solvers for subdomain problems.
+
+This is the honest TPU replacement (SURVEY.md §7.1 decision 4) of the
+reference's sparse direct stack:
+
+* UMFPACK / CHOLMOD / STRUMPACK subdomain factorizations
+  (dune/ddm/schwarz.hh:85-92 via the ISTL solver factory)
+* the SIMD multi-RHS triangular resolve ``UMFPackMultivecSolver``
+  (dune/ddm/eigensolvers/umfpack.hh:132-251) — on TPU a batched triangular
+  solve over trailing RHS dims is simply ``solve`` with a matrix RHS.
+
+Subdomain matrices arrive as a padded dense batch (n_sub, p, p); padding
+diagonal slots must already be 1 (see precond/extract.py) so factorizations
+are well-defined.  Factor once at setup, apply per Krylov iteration — exactly
+the factorise/resolve split of the reference.
+
+Solver names accepted by :func:`factor_batched` keep the reference's config
+strings working: ``umfpack`` (LU), ``cholmod`` (Cholesky), plus the native
+names ``lu`` and ``cholesky``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BatchedLU:
+    lu: jnp.ndarray  # (n_sub, p, p)
+    piv: jnp.ndarray  # (n_sub, p)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """b: (n_sub, p) or (n_sub, p, k)."""
+        squeeze = b.ndim == 2
+        if squeeze:
+            b = b[..., None]
+        x = jax.vmap(lambda lu, piv, bb: jax.scipy.linalg.lu_solve((lu, piv), bb))(
+            self.lu, self.piv, b
+        )
+        return x[..., 0] if squeeze else x
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BatchedCholesky:
+    chol: jnp.ndarray  # (n_sub, p, p) lower factors
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        squeeze = b.ndim == 2
+        if squeeze:
+            b = b[..., None]
+        y = jax.lax.linalg.triangular_solve(
+            self.chol, b, left_side=True, lower=True, transpose_a=False
+        )
+        x = jax.lax.linalg.triangular_solve(
+            self.chol, y, left_side=True, lower=True, transpose_a=True
+        )
+        return x[..., 0] if squeeze else x
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BatchedQR:
+    """Householder QR factors — the TPU-native nonsymmetric factorization.
+
+    The axon TPU backend compiles f64 QR but not f64 partial-pivoting LU, so
+    general (convection-dominated, DG) subdomain problems factor as QR there;
+    same O(p^3) setup / O(p^2) apply complexity class on the MXU.
+    """
+
+    q: jnp.ndarray  # (n_sub, p, p)
+    r: jnp.ndarray  # (n_sub, p, p)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        squeeze = b.ndim == 2
+        if squeeze:
+            b = b[..., None]
+        y = jnp.einsum("spq,spk->sqk", self.q, b)  # Q^T b
+        x = jax.lax.linalg.triangular_solve(
+            self.r, y, left_side=True, lower=False, transpose_a=False
+        )
+        return x[..., 0] if squeeze else x
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BatchedInverse:
+    """Explicit subdomain inverses: apply = one batched matmul on the MXU.
+
+    Single-RHS triangular substitution is sequential (p steps) and runs two
+    orders of magnitude slower on TPU than a (n_sub, p, p) x (n_sub, p)
+    matmul, which is pure MXU work at HBM bandwidth.  The inverse is formed
+    once at setup from the triangular factors (multi-RHS solve against I —
+    itself MXU-friendly); for Cholesky it is built as L^{-T} L^{-1} so the
+    preconditioner stays exactly symmetric for CG.
+
+    Accuracy note: applying an explicit inverse carries a cond(A)*eps error
+    per apply — harmless for a *preconditioner* (it only nudges iteration
+    counts; the Krylov solver controls the true residual).
+    """
+
+    inv: jnp.ndarray  # (n_sub, p, p)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        if b.ndim == 2:
+            return jnp.einsum("spq,sq->sp", self.inv, b)
+        return jnp.einsum("spq,sqk->spk", self.inv, b)
+
+
+_LU_NAMES = {"lu", "umfpack", "superlu", "strumpack"}
+_CHOL_NAMES = {"cholesky", "cholmod"}
+_QR_NAMES = {"qr"}
+
+
+def resolve_solver_type(solver_type: str) -> str:
+    """Map reference solver names to the factorization actually used,
+    accounting for backend support (f64 LU does not compile on the TPU
+    backend; QR substitutes with identical apply semantics)."""
+    st = solver_type.lower()
+    if st in _CHOL_NAMES:
+        return "cholesky"
+    if st in _QR_NAMES:
+        return "qr"
+    if st in _LU_NAMES:
+        if jax.default_backend() not in ("cpu",):
+            return "qr"
+        return "lu"
+    raise ValueError(f"Unknown subdomain solver type '{solver_type}'")
+
+
+def _newton_refine(A: jnp.ndarray, X: jnp.ndarray, steps: int) -> jnp.ndarray:
+    """Newton–Schulz refinement X <- X (2I - A X).
+
+    Squares the inverse residual per step.  Needed because the TPU's blocked
+    triangular solve yields ~20x larger ||A X - I|| than LAPACK, which
+    otherwise caps attainable Krylov accuracy per restart cycle.  This is the
+    TPU analogue of the reference's blockwise iterative refinement
+    (dune/ddm/eigensolvers/umfpack.hh:42-129), done once at setup so the
+    per-iteration apply stays a single matmul.
+    """
+    for _ in range(steps):
+        AX = jnp.einsum("spq,sqr->spr", A, X)
+        X = 2.0 * X - jnp.einsum("spq,sqr->spr", X, AX)
+    return X
+
+
+def factor_batched(
+    A: jnp.ndarray,
+    solver_type: str = "lu",
+    mode: str = "auto",
+    refine_steps: int | None = None,
+):
+    """Factor a batch of dense subdomain matrices (n_sub, p, p).
+
+    mode: "factors" keeps triangular factors (CPU-friendly), "inverse" forms
+    explicit inverses (TPU-friendly apply, see BatchedInverse), "auto" picks
+    by backend.  refine_steps: Newton refinement steps for the inverse
+    (default: 1 on TPU, 0 on CPU).
+    """
+    st = resolve_solver_type(solver_type)
+    on_cpu = jax.default_backend() == "cpu"
+    if mode == "auto":
+        mode = "factors" if on_cpu else "inverse"
+    if refine_steps is None:
+        refine_steps = 0 if on_cpu else 1
+    if st == "cholesky":
+        chol = jnp.linalg.cholesky(A)
+        if mode == "inverse":
+            eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+            linv = jax.lax.linalg.triangular_solve(
+                chol, eye, left_side=True, lower=True
+            )
+            inv = jnp.einsum("sqp,sqr->spr", linv, linv)  # L^{-T} L^{-1}
+            inv = _newton_refine(A, inv, refine_steps)
+            return BatchedInverse(inv=inv)
+        return BatchedCholesky(chol=chol)
+    if st == "qr":
+        q, r = jnp.linalg.qr(A)
+        if mode == "inverse":
+            eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
+            rinv = jax.lax.linalg.triangular_solve(
+                r, eye, left_side=True, lower=False
+            )
+            inv = jnp.einsum("spq,srq->spr", rinv, q)  # R^{-1} Q^T
+            inv = _newton_refine(A, inv, refine_steps)
+            return BatchedInverse(inv=inv)
+        return BatchedQR(q=q, r=r)
+    lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(A)
+    return BatchedLU(lu=lu, piv=piv)

@@ -1,0 +1,135 @@
+"""M1 end-to-end: one-level (restricted) additive Schwarz + CG on Poisson.
+
+This is BASELINE.md config 1 (one-level Schwarz + CG).  Checks:
+solution correctness vs scipy, preconditioning effectiveness, and the
+standard-vs-restricted semantics of schwarz.hh:138-143.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse.linalg as spla
+
+from ddm_tpu.config import ParamTree
+from ddm_tpu.core.indexmaps import pou_weights
+from ddm_tpu.core.setup import setup_topology
+from ddm_tpu.fem import structured_grid, read_msh
+from ddm_tpu.fem.discretize import Discretization
+from ddm_tpu.fem import problems as prob
+from ddm_tpu.precond.schwarz import build_schwarz
+from ddm_tpu.solvers.krylov import cg_solve, operator_of, prec_of
+
+
+def poisson_setup(cells=(24, 24), parts=(2, 2), overlap=2, problem=None):
+    grid = structured_grid(cells)
+    disc = Discretization(grid, problem or prob.simple())
+    Ac, rhs, g = disc.constrained_system()
+    topo, _ = setup_topology(disc, overlap=overlap, parts=parts)
+    return disc, Ac, rhs, g, topo
+
+
+def schwarz_ptree(stype="restricted", solver="cholesky"):
+    return ParamTree(
+        {"schwarz": {"type": stype, "subdomain_solver": {"type": solver}}}
+    )
+
+
+def test_as_cg_converges_and_matches_scipy():
+    # CG requires the symmetric (standard) Schwarz variant; the restricted
+    # variant is nonsymmetric and is paired with GMRES/BiCGStab below, as in
+    # the reference's poisson.ini (restartedgmressolver + schwarz.type
+    # restricted).
+    disc, Ac, rhs, g, topo = poisson_setup()
+    P = build_schwarz(Ac, topo, None, schwarz_ptree("standard"))
+    res = cg_solve(
+        operator_of(Ac), prec_of(P), rhs, jnp.zeros_like(rhs), reduction=1e-10,
+        maxit=200,
+    )
+    assert bool(res.converged)
+    Asp = disc.pattern.to_scipy(Ac).tocsc()
+    x_ref = spla.spsolve(Asp, np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-7)
+    # preconditioning must beat plain CG
+    res_plain = cg_solve(
+        operator_of(Ac), None, rhs, jnp.zeros_like(rhs), reduction=1e-10, maxit=500
+    )
+    assert int(res.iterations) < int(res_plain.iterations)
+
+
+@pytest.mark.parametrize("pt", ["standard", "trivial", "distance"])
+def test_ras_gmres_converges(pt):
+    from ddm_tpu.solvers.krylov import gmres_solve
+
+    disc, Ac, rhs, g, topo = poisson_setup(cells=(16, 16))
+    pou = pou_weights(topo, pt)
+    P = build_schwarz(Ac, topo, pou, schwarz_ptree("restricted"))
+    res = gmres_solve(
+        operator_of(Ac), prec_of(P), rhs, jnp.zeros_like(rhs), reduction=1e-8,
+        maxit=300, restart=50,
+    )
+    assert bool(res.converged), f"restricted/{pt} did not converge"
+    assert int(res.iterations) < 30
+
+
+def test_ras_bicgstab_converges():
+    from ddm_tpu.solvers.krylov import bicgstab_solve
+
+    disc, Ac, rhs, g, topo = poisson_setup(cells=(16, 16))
+    pou = pou_weights(topo, "distance")
+    P = build_schwarz(Ac, topo, pou, schwarz_ptree("restricted"))
+    res = bicgstab_solve(
+        operator_of(Ac), prec_of(P), rhs, jnp.zeros_like(rhs), reduction=1e-8,
+        maxit=300,
+    )
+    assert bool(res.converged)
+    import scipy.sparse.linalg as spla
+
+    x_ref = spla.spsolve(disc.pattern.to_scipy(Ac).tocsc(), np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-6)
+
+
+def test_lu_and_cholesky_factorizations_agree():
+    disc, Ac, rhs, g, topo = poisson_setup(cells=(16, 16))
+    pou = pou_weights(topo, "distance")
+    P_lu = build_schwarz(Ac, topo, pou, schwarz_ptree(solver="umfpack"))
+    P_ch = build_schwarz(Ac, topo, pou, schwarz_ptree(solver="cholmod"))
+    d = jnp.asarray(np.random.default_rng(0).normal(size=rhs.shape))
+    np.testing.assert_allclose(
+        np.asarray(P_lu.apply(d)), np.asarray(P_ch.apply(d)), rtol=1e-9, atol=1e-10
+    )
+
+
+def test_unstructured_mesh_ras_gmres():
+    import os
+
+    path = "/root/reference/data/unitsquare.msh"
+    if not os.path.exists(path):
+        pytest.skip("reference mesh unavailable")
+    grid = read_msh(path)
+    disc = Discretization(grid, prob.simple())
+    Ac, rhs, g = disc.constrained_system()
+    topo, _ = setup_topology(disc, overlap=2, n_sub=8)
+    from ddm_tpu.solvers.krylov import gmres_solve
+
+    pou = pou_weights(topo, "distance")
+    P = build_schwarz(Ac, topo, pou, schwarz_ptree())
+    res = gmres_solve(
+        operator_of(Ac), prec_of(P), rhs, jnp.zeros_like(rhs), reduction=1e-10,
+        maxit=300, restart=50,
+    )
+    assert bool(res.converged)
+    Asp = disc.pattern.to_scipy(Ac).tocsc()
+    x_ref = spla.spsolve(Asp, np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, atol=1e-6)
+
+
+def test_history_is_monotone_overall():
+    disc, Ac, rhs, g, topo = poisson_setup(cells=(16, 16))
+    P = build_schwarz(Ac, topo, None, schwarz_ptree("standard"))
+    res = cg_solve(
+        operator_of(Ac), prec_of(P), rhs, jnp.zeros_like(rhs), reduction=1e-10,
+        maxit=200,
+    )
+    h = np.asarray(res.history)
+    h = h[~np.isnan(h)]
+    assert h[-1] < 1e-10 * h[0]
