@@ -140,7 +140,7 @@ def run_cpu_baseline(p):
 
 def main():
     gridsize = int(os.environ.get("DDM_BENCH_GRIDSIZE", "192"))
-    parts = int(os.environ.get("DDM_BENCH_PARTS", "4"))
+    parts = int(os.environ.get("DDM_BENCH_PARTS", "8"))
     overlap = int(os.environ.get("DDM_BENCH_OVERLAP", "2"))
 
     t0 = time.perf_counter()

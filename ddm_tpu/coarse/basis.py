@@ -1,0 +1,48 @@
+"""Coarse-space basis container and finalization.
+
+The analogue of ``CoarseSpaceBuilder`` (reference:
+dune/ddm/coarsespaces/coarse_spaces.hh:219-256): every coarse space produces
+per-subdomain basis vectors.  Here they live as one padded batch
+``V[n_sub, nev_max, n_pad]`` in subdomain-local coordinates with an
+``active`` mask — the fixed-shape representation of the reference's ragged
+``std::vector<BlockVector>`` per rank (adaptive eigenvalue thresholds make
+nev differ per subdomain; masking replaces raggedness under SPMD).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class CoarseBasis:
+    V: jnp.ndarray  # (n_sub, nev_max, n_pad), zero rows where inactive
+    active: jnp.ndarray  # (n_sub, nev_max) bool
+
+    @property
+    def n_sub(self):
+        return self.V.shape[0]
+
+    @property
+    def nev_max(self):
+        return self.V.shape[1]
+
+
+def finalize_basis(
+    V_raw: jnp.ndarray, pou: jnp.ndarray, valid: jnp.ndarray, active: jnp.ndarray
+) -> CoarseBasis:
+    """POU-scale and 2-norm-normalize basis vectors
+    (reference: detail::finalize_eigenvectors, coarse_spaces.hh:52-61).
+
+    POU scaling also zeroes the vectors on subdomain boundaries, which is
+    what makes the locally-computed Galerkin coarse matrix exact
+    (see precond/galerkin.py).
+    """
+    V = V_raw * pou[:, None, :] * valid[:, None, :]
+    norms = jnp.sqrt(jnp.sum(V * V, axis=2, keepdims=True))
+    V = jnp.where(active[:, :, None], V / jnp.maximum(norms, 1e-300), 0.0)
+    return CoarseBasis(V=V, active=active)

@@ -1,0 +1,170 @@
+"""Galerkin coarse correction: x += R^T (R A R^T)^{-1} R d.
+
+Rebuilds dune/ddm/galerkin_preconditioner.hh:47-363 without its scalability
+bottleneck: where the reference round-robins template vectors between
+neighbors, computes per-rank dot products, Gathervs the coarse matrix to
+rank 0, factorizes there, and funnels every apply through a rank-0
+solve + Scatterv (galerkin_preconditioner.hh:151-194 — the author's own TODO
+marks this the bottleneck at :217-218), here:
+
+* the coarse matrix is assembled by a scan of batched SpMVs + gathered dots
+  (setup, device-wide);
+* it is factored once and **replicated** — the coarse solve happens on every
+  device redundantly (coarse dim = sum of nev_i, small), eliminating the
+  rank-0 serialization entirely (SURVEY.md §2.6 "coarse-level reduction");
+* apply = batched restriction dots -> replicated dense solve -> batched
+  prolongation scatter.
+
+Coarse-matrix semantics: the reference computes entry ((j,l),(i,k)) as
+v_ik^T A^(i) v_jl with rank i's *local* overlapping matrix
+(galerkin_preconditioner.hh:279-328).  For basis vectors that vanish on
+subdomain boundaries (every POU-finalized space does) this equals the true
+global Galerkin product v_ik^T A v_jl, which is what the default
+``method="global"`` computes; ``method="local"`` reproduces the reference
+formula bit-for-bit (needed for the exact fixture of
+tests/test_galerkin_coarse_matrix.cc, whose POU-only vectors do NOT vanish
+on the boundary).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ParamTree
+from ..core.indexmaps import DDMTopology
+from ..core.sparse import SparseELL
+from ..coarse.basis import CoarseBasis
+from ..solvers.direct import factor_batched
+from .extract import gather_subdomain, scatter_add_subdomain
+
+
+def galerkin_coarse_matrix(
+    ell: SparseELL, sub2glob: jnp.ndarray, basis: CoarseBasis
+) -> jnp.ndarray:
+    """True Galerkin E[(i,k),(j,l)] = v_ik^T A v_jl, (n_c, n_c) dense.
+
+    Scans over subdomains j: scatter V[j] to global, one multi-RHS SpMV,
+    gather to all subdomains, batched dots.  Memory high-water:
+    O(n * nev_max)."""
+    n = ell.n
+    n_sub, nev, n_pad = basis.V.shape
+    V = basis.V
+
+    def body(_, j):
+        U = scatter_add_subdomain(
+            V[j].T[None], sub2glob[j][None], n
+        )  # (n, nev)
+        W = ell.mv(U)  # (n, nev)
+        W_sub = gather_subdomain(W, sub2glob)  # (n_sub, n_pad, nev)
+        blk = jnp.einsum("skp,spl->skl", V, W_sub)  # rows (i,k), cols (j,*)
+        return None, blk
+
+    _, blocks = jax.lax.scan(body, None, jnp.arange(n_sub))
+    # blocks: (j, i, k, l) -> E[(i,k),(j,l)]
+    E = blocks.transpose(1, 2, 0, 3).reshape(n_sub * nev, n_sub * nev)
+    return E
+
+
+def galerkin_coarse_matrix_local(
+    A_sub: jnp.ndarray,
+    sub2glob: jnp.ndarray,
+    basis: CoarseBasis,
+    n_glob: int,
+) -> jnp.ndarray:
+    """Reference-formula coarse matrix: E[(j,l),(i,k)] = v_ik^T A^(i) v_jl
+    with A^(i) the dense overlapping subdomain matrix
+    (galerkin_preconditioner.hh:279-328 semantics)."""
+    n_sub, nev, n_pad = basis.V.shape
+    V = basis.V
+
+    def body(_, j):
+        U = scatter_add_subdomain(V[j].T[None], sub2glob[j][None], n_glob)
+        U_sub = gather_subdomain(U, sub2glob)  # (n_sub, n_pad, nev) = v_jl on S_i
+        W = jnp.einsum("spq,sql->spl", A_sub, U_sub)  # A^(i) v_jl
+        blk = jnp.einsum("skp,spl->slk", V, W)  # rows (j,l), cols (i,k)
+        return None, blk
+
+    _, blocks = jax.lax.scan(body, None, jnp.arange(n_sub))
+    # blocks: (j, i, l, k) -> E[(j,l),(i,k)]
+    E = blocks.transpose(0, 2, 1, 3).reshape(n_sub * nev, n_sub * nev)
+    return E
+
+
+def _mask_inactive(E: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
+    """Decouple inactive (padding) coarse dofs: zero rows/cols, unit diag.
+    The reference instead gathers exactly sum(nev_i) vectors
+    (num_t_per_rank, galerkin_preconditioner.hh:248-256); fixed shapes force
+    padding here, and unit diagonal slots make the padded coarse matrix
+    equivalent."""
+    a = active.reshape(-1)
+    E = jnp.where(a[:, None] & a[None, :], E, 0.0)
+    return E + jnp.diag(jnp.where(a, 0.0, 1.0))
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class GalerkinPreconditioner:
+    sub2glob: jnp.ndarray  # (n_sub, n_pad)
+    V: jnp.ndarray  # (n_sub, nev_max, n_pad)
+    active: jnp.ndarray  # (n_sub, nev_max)
+    coarse: object  # factorization with .solve((1, n_c) or (1, n_c, k))
+    axis: str | None = field(default=None, metadata=dict(static=True))
+
+    def apply(self, d: jnp.ndarray) -> jnp.ndarray:
+        n = d.shape[0]
+        n_sub, nev, _ = self.V.shape
+        d_sub = gather_subdomain(d, self.sub2glob)
+        alpha = jnp.einsum("skp,sp->sk", self.V, d_sub)  # restriction
+        if self.axis is not None:
+            # subdomain-sharded execution: collect the full coarse defect,
+            # solve replicated, keep the local block
+            alpha_full = jax.lax.all_gather(alpha, self.axis, tiled=True)
+            beta_full = self.coarse.solve(alpha_full.reshape(1, -1))[0]
+            shard = jax.lax.axis_index(self.axis)
+            beta = jax.lax.dynamic_slice_in_dim(
+                beta_full.reshape(-1, nev), shard * n_sub, n_sub, axis=0
+            )
+        else:
+            beta = self.coarse.solve(alpha.reshape(1, -1))[0].reshape(n_sub, nev)
+        x_sub = jnp.einsum("skp,sk->sp", self.V, beta)  # prolongation
+        x = scatter_add_subdomain(x_sub, self.sub2glob, n)
+        if self.axis is not None:
+            x = jax.lax.psum(x, self.axis)
+        return x
+
+
+def build_galerkin(
+    ell: SparseELL,
+    topo: DDMTopology,
+    basis: CoarseBasis,
+    ptree: ParamTree | None = None,
+    subtree_name: str = "coarse_solver",
+    method: str = "global",
+    A_sub: jnp.ndarray | None = None,
+) -> GalerkinPreconditioner:
+    ptree = ptree or ParamTree({subtree_name: {"type": "lu"}})
+    sub = ptree.sub(subtree_name)
+    if "type" not in sub:
+        raise KeyError(
+            f"You must specify the solver in the subtree {subtree_name} "
+            "using the key 'type'"
+        )
+    solver_type = sub.get("type")
+    s2g = jnp.asarray(topo.sub2glob)
+    if method == "global":
+        E = galerkin_coarse_matrix(ell, s2g, basis)
+    elif method == "local":
+        if A_sub is None:
+            raise ValueError("method='local' requires the dense A_sub batch")
+        E = galerkin_coarse_matrix_local(A_sub, s2g, basis, topo.n_glob)
+    else:
+        raise ValueError(f"unknown coarse-matrix method '{method}'")
+    E = _mask_inactive(E, basis.active)
+    coarse = factor_batched(E[None], solver_type)
+    return GalerkinPreconditioner(
+        sub2glob=s2g, V=basis.V, active=basis.active, coarse=coarse
+    )

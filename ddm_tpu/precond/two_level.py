@@ -1,0 +1,72 @@
+"""Two-level Schwarz orchestration.
+
+The analogue of ``TwoLevelSchwarzPreconditioner``
+(examples/pdelab_schwarz.hh:26-205): wires fine-level Schwarz + coarse space
++ Galerkin correction into one combined preconditioner, dispatching the
+coarse space on ``coarsespace.type`` (SURVEY.md §5.6 key inventory).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ParamTree
+from ..core.indexmaps import extraction_map
+from .combined import build_combined
+from .extract import extract_subdomain_dense
+from .galerkin import build_galerkin
+from .schwarz import SchwarzPreconditioner, build_schwarz
+from ..solvers.direct import factor_batched
+
+
+def build_coarse_space(p, cs_type: str, ptree: ParamTree):
+    """Dispatch like pdelab_schwarz.hh:93-141's coarse-space switch."""
+    from ..coarse import pou_coarse_space
+
+    if cs_type == "pou":
+        return pou_coarse_space(p.topo, p.pou)
+    if cs_type in ("geneo", "algebraic_geneo"):
+        from ..coarse.geneo import geneo_coarse_space
+
+        return geneo_coarse_space(p, ptree, algebraic=cs_type == "algebraic_geneo")
+    if cs_type == "geneo_ring":
+        from ..coarse.ring import geneo_ring_coarse_space
+
+        return geneo_ring_coarse_space(p, ptree)
+    if cs_type in ("msgfem", "algebraic_msgfem", "msgfem_euclid"):
+        from ..coarse.msgfem import msgfem_coarse_space
+
+        return msgfem_coarse_space(p, ptree, variant=cs_type)
+    if cs_type == "msgfem_ring":
+        from ..coarse.ring import msgfem_ring_coarse_space
+
+        return msgfem_ring_coarse_space(p, ptree)
+    if cs_type == "harmonic_extension":
+        from ..coarse.harmonic import harmonic_extension_coarse_space
+
+        return harmonic_extension_coarse_space(p, ptree)
+    if cs_type == "svd":
+        from ..coarse.svd import svd_coarse_space
+
+        return svd_coarse_space(p, ptree)
+    if cs_type == "constraint_geneo":
+        from ..coarse.geneo import geneo_coarse_space
+
+        return geneo_coarse_space(p, ptree, constrained=True)
+    raise ValueError(f"Unknown coarse space type '{cs_type}'")
+
+
+def build_two_level(p, fine: SchwarzPreconditioner | None = None):
+    """p: api.DDMProblem.  Returns the combined two-level preconditioner."""
+    ptree = p.ptree
+    cs_type = ptree.sub("coarsespace").get("type", "geneo")
+    if fine is None:
+        fine = build_schwarz(p.A, p.topo, p.pou, ptree)
+    if cs_type == "none":
+        return fine
+    basis = build_coarse_space(p, cs_type, ptree)
+    coarse_ptree = ptree if "coarse_solver.type" in ptree else None
+    coarse = build_galerkin(p.A, p.topo, basis, coarse_ptree)
+    op = p.A if ptree.sub("combined_preconditioner").get("mode", "additive") == "multiplicative" else None
+    return build_combined([fine, coarse], ptree, op=op)
