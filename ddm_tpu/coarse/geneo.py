@@ -1,0 +1,142 @@
+"""GenEO coarse space (Generalized Eigenproblems in the Overlaps).
+
+Rebuilds GenEOCoarseSpace (dune/ddm/coarsespaces/coarse_spaces.hh:268-333):
+per subdomain, solve
+
+    A_neu v = lambda (D B_neu D) v
+
+with A_neu the subdomain Neumann matrix, B_neu the overlap-region Neumann
+matrix, and D the partition of unity (scale_matrix_with_pou,
+coarse_spaces.hh:74-96), then POU-scale + normalize the kept eigenvectors
+(finalize_eigenvectors, coarse_spaces.hh:52-61).
+
+Also provides the **algebraic** GenEO variant following Al Daas, Jolivet,
+Rees (doi 10.1137/22M1469833; reference: detail::build_algebraic_neumann,
+coarse_spaces.hh:98-206 and the #if 0 AlgebraicGenEOCoarseSpace at
+:335-392): the Neumann matrix is approximated from matrix data alone by
+subtracting |off-subdomain| row sums from boundary diagonals — no element
+re-assembly needed.
+
+TPU shape: all subdomain eigenproblems solve as ONE batched dense GEVP
+(eigen/dense_gevp.py); the reference's per-rank sequential Lanczos with
+retries disappears.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ParamTree
+from ..eigen.dense_gevp import solve_gevp_dense
+from ..eigen.params import EigensolverParams
+from ..fem.subassembly import (
+    eliminate_dirichlet_dense,
+    neumann_dense,
+    scale_matrix_with_pou,
+    subdomain_element_lists,
+)
+from ..precond.extract import gather_subdomain
+from .basis import CoarseBasis, finalize_basis
+
+
+def neumann_matrices(p, region_b: str = "overlap"):
+    """Assemble (A_neu, B_neu) dense batches for DDMProblem ``p``.
+
+    region_b: "overlap" (reference NeumannRegion::Overlap for the GEVP rhs)
+    or "all" (B == A).  Matrices are produced in the same (optionally
+    equilibrated) variables as ``p.A``: congruence scaling leaves the GEVP
+    eigenvalues unchanged and maps eigenvectors consistently.
+    """
+    disc, topo = p.disc, p.topo
+    Ke, _ = disc.element_matrices(
+        disc.problem if getattr(disc.problem, "symmetric", True)
+        else disc.problem.symmetrized()
+    )
+    sub_e, sub_l = subdomain_element_lists(
+        disc.grid.elems, topo, n_comp=disc.n_comp
+    )
+    A_neu = neumann_dense(Ke, jnp.asarray(sub_e), jnp.asarray(sub_l), topo.n_pad)
+    if region_b == "all":
+        B_neu = A_neu
+    else:
+        ovlp_mask = topo.bdist <= 2 * topo.overlap
+        sub_e2, sub_l2 = subdomain_element_lists(
+            disc.grid.elems, topo, n_comp=disc.n_comp, dof_mask=ovlp_mask
+        )
+        B_neu = neumann_dense(
+            Ke, jnp.asarray(sub_e2), jnp.asarray(sub_l2), topo.n_pad
+        )
+
+    # same variables as the global operator (Jacobi equilibration is a
+    # congruence transform: scale rows+cols by the gathered scale vector)
+    if p.scale is not None:
+        s_sub = gather_subdomain(p.scale, jnp.asarray(topo.sub2glob))
+        A_neu = A_neu * s_sub[:, :, None] * s_sub[:, None, :]
+        B_neu = B_neu * s_sub[:, :, None] * s_sub[:, None, :]
+
+    dmask_sub = gather_subdomain(
+        p.disc.dirichlet_mask.astype(jnp.float64), jnp.asarray(topo.sub2glob)
+    ) > 0
+    pad = ~jnp.asarray(topo.valid)
+    A_neu = eliminate_dirichlet_dense(A_neu, dmask_sub, unit_diag_padding=pad)
+    B_neu = eliminate_dirichlet_dense(B_neu, dmask_sub)
+    return A_neu, B_neu
+
+
+def algebraic_neumann(p):
+    """Matrix-only Neumann approximation (Al Daas/Jolivet/Rees):
+    A_neu = A_dir - diag(corrections), corrections[i] = sum of |A[i,j]| over
+    couplings j outside the subdomain, applied at non-Dirichlet boundary
+    rows (coarse_spaces.hh:98-206 semantics, computed globally)."""
+    from ..core.indexmaps import extraction_map
+    from ..precond.extract import extract_subdomain_dense
+
+    topo = p.topo
+    ell = p.A
+    lc = extraction_map(topo, np.asarray(ell.cols))
+    A_dir = extract_subdomain_dense(
+        ell, jnp.asarray(topo.sub2glob), jnp.asarray(topo.valid), jnp.asarray(lc)
+    )
+    # row sums of |A[i, j]| for j OUTSIDE the subdomain: total |row| minus
+    # in-subdomain |row|
+    n = ell.n
+    rows = jnp.minimum(jnp.asarray(topo.sub2glob), n - 1)
+    abs_vals = jnp.abs(ell.vals)[rows]  # (n_sub, n_pad, m)
+    total = abs_vals.sum(axis=2)
+    inside = jnp.abs(A_dir).sum(axis=2)
+    # the diagonal appears in both; difference = off-subdomain couplings
+    corr = total - inside
+    dmask_sub = gather_subdomain(
+        p.disc.dirichlet_mask.astype(jnp.float64), jnp.asarray(topo.sub2glob)
+    ) > 0
+    corr = jnp.where(dmask_sub | ~jnp.asarray(topo.valid), 0.0, corr)
+    eye = jnp.eye(topo.n_pad, dtype=A_dir.dtype)
+    return A_dir - eye[None] * corr[:, :, None], A_dir
+
+
+def geneo_coarse_space(
+    p,
+    ptree: ParamTree,
+    algebraic: bool = False,
+    constrained: bool = False,
+) -> CoarseBasis:
+    """p: api.DDMProblem.  Config subtree: ``geneo.eigensolver`` (or
+    ``algebraic_geneo.eigensolver`` / ``constraint_geneo.eigensolver``)."""
+    prefix = (
+        "algebraic_geneo" if algebraic
+        else ("constraint_geneo" if constrained else "geneo")
+    )
+    params = EigensolverParams.from_ptree(ptree.sub(f"{prefix}.eigensolver"))
+    pou = jnp.asarray(p.pou)
+    if algebraic:
+        # reference (disabled AlgebraicGenEOCoarseSpace, coarse_spaces.hh:
+        # 369-377): lhs = algebraic Neumann, rhs = overlapping Dirichlet
+        # matrix
+        A_neu, A_dir = algebraic_neumann(p)
+        B = A_dir
+    else:
+        A_neu, B = neumann_matrices(p)
+    C = scale_matrix_with_pou(B, pou)
+    lam, V, active = solve_gevp_dense(A_neu, C, params, spd=not algebraic)
+    return finalize_basis(V, pou, jnp.asarray(p.topo.valid), active)

@@ -1,0 +1,48 @@
+"""Eigensolver parameters (reference: dune/ddm/eigensolvers/eigensolver_params.hh:8-62).
+
+Defaults mirror the reference; ``threshold > 0`` switches to adaptive
+selection (keep eigenpairs with lambda < threshold, up to nev_max), else
+exactly ``nev`` pairs are kept.  The reference's known bug at
+eigensolver_params.hh:23 (assigning ncv where nev_max was intended) is NOT
+replicated (SURVEY.md snapshot caveats).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..config import ParamTree
+
+
+@dataclass
+class EigensolverParams:
+    nev: int = 16
+    ncv: int = 32  # Krylov basis size — unused by the dense path
+    nev_max: int = 16
+    maxit: int = 1000
+    seed: int = 1
+    blocksize: int = 8
+    tolerance: float = 1e-5
+    shift: float = 1e-3
+    threshold: float = -0.5
+
+    @staticmethod
+    def from_ptree(sub: ParamTree) -> "EigensolverParams":
+        p = EigensolverParams()
+        p.nev = sub.get("nev", p.nev)
+        p.ncv = sub.get("ncv", 2 * p.nev)
+        p.nev_max = sub.get("nev_max", max(p.nev, 16))
+        p.maxit = sub.get("maxit", p.maxit)
+        p.seed = sub.get("seed", p.seed)
+        p.blocksize = sub.get("blocksize", p.blocksize)
+        p.tolerance = sub.get("tolerance", p.tolerance)
+        p.shift = sub.get("shift", p.shift)
+        p.threshold = sub.get("threshold", p.threshold)
+        if p.threshold > 0:
+            p.nev_max = max(p.nev_max, p.nev)
+        return p
+
+    @property
+    def max_kept(self) -> int:
+        """Static width of the basis batch."""
+        return self.nev_max if self.threshold > 0 else self.nev

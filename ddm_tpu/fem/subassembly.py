@@ -1,0 +1,123 @@
+"""Per-subdomain Neumann matrix assembly.
+
+Rebuilds the reference's Neumann-matrix machinery — the AssembleWrapper
+correction capture (examples/assemblewrapper.hh:27-490) plus the
+correction-triple MPI exchange and assembly in
+``assemble_overlapping_matrices`` (examples/pdelab_helper.hh:113-436) — from
+the global viewpoint the TPU build affords:
+
+The reference subtracts, from the overlapping Dirichlet matrix, per-element
+contributions of elements that cross a subdomain's boundary (shipped as
+triples from the ranks that own those elements).  The net result is the
+subdomain **Neumann matrix**
+
+    A_neu^(i) = sum of element matrices over elements fully inside S_i
+
+and, for NeumannRegion::Overlap, the Neumann matrix of the overlap region
+(elements whose dofs all have boundary distance <= 2*overlap).  Since the
+whole mesh is resident here, we assemble those element sums directly: a
+host-precomputed padded (subdomain -> element list, local dof map) and one
+batched scatter-add of the global element-matrix batch into dense
+(n_sub, n_pad, n_pad) blocks.  No correction exchange exists at all.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.indexmaps import DDMTopology
+
+
+def subdomain_element_lists(
+    elems: np.ndarray,
+    topo: DDMTopology,
+    n_comp: int = 1,
+    dof_mask: np.ndarray | None = None,
+):
+    """Host: per subdomain, the elements fully inside its (masked) dof set.
+
+    dof_mask: optional (n_sub, n_pad) bool restricting the region (e.g.
+    bdist <= 2*overlap for the overlap-region Neumann matrix B_neu).
+    Returns (sub_elems (n_sub, max_e) int64 padded with n_elems,
+             sub_locs (n_sub, max_e, nd*n_comp) int32 padded with n_pad).
+    """
+    n_e, nd = elems.shape
+    n_sub, n_pad = topo.sub2glob.shape
+    if n_comp == 1:
+        dofs = elems
+    else:
+        dofs = (elems[:, :, None] * n_comp + np.arange(n_comp)).reshape(n_e, -1)
+    nl = dofs.shape[1]
+
+    lists = []
+    locs = []
+    for k in range(n_sub):
+        loc = topo.glob2loc[k][dofs]  # (n_e, nl), -1 outside
+        inside = (loc >= 0).all(axis=1)
+        if dof_mask is not None:
+            lm = np.where(loc >= 0, loc, 0)
+            inside &= np.where(loc >= 0, dof_mask[k][lm], False).all(axis=1)
+        ids = np.nonzero(inside)[0]
+        lists.append(ids)
+        locs.append(loc[ids])
+    max_e = max((len(l) for l in lists), default=1)
+    max_e = max(max_e, 1)
+    sub_elems = np.full((n_sub, max_e), n_e, dtype=np.int64)
+    sub_locs = np.full((n_sub, max_e, nl), n_pad, dtype=np.int32)
+    for k in range(n_sub):
+        m = len(lists[k])
+        sub_elems[k, :m] = lists[k]
+        sub_locs[k, :m] = locs[k]
+    return sub_elems, sub_locs
+
+
+def neumann_dense(
+    Ke: jnp.ndarray,
+    sub_elems: jnp.ndarray,
+    sub_locs: jnp.ndarray,
+    n_pad: int,
+) -> jnp.ndarray:
+    """Device: batched dense Neumann matrices (n_sub, n_pad, n_pad).
+
+    Ke: (n_e, nl, nl) global element matrices; padding elements (index n_e)
+    gather a zero block.
+    """
+    n_e, nl, _ = Ke.shape
+    Kp = jnp.concatenate([Ke, jnp.zeros((1, nl, nl), Ke.dtype)])
+    Ks = Kp[sub_elems]  # (n_sub, max_e, nl, nl)
+    n_sub, max_e = sub_elems.shape
+    A = jnp.zeros((n_sub, n_pad + 1, n_pad + 1), Ke.dtype)
+    s_idx = jnp.arange(n_sub)[:, None, None, None]
+    r_idx = sub_locs[:, :, :, None]
+    c_idx = sub_locs[:, :, None, :]
+    A = A.at[s_idx, r_idx, c_idx].add(Ks)
+    return A[:, :n_pad, :n_pad]
+
+
+def eliminate_dirichlet_dense(
+    A: jnp.ndarray, dmask_sub: jnp.ndarray, unit_diag_padding: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Symmetric Dirichlet elimination on a dense subdomain batch
+    (pdelab_helper.hh:33-46 semantics: Dirichlet rows/cols -> identity).
+
+    dmask_sub: (n_sub, n_pad) bool.  unit_diag_padding: optional (n_sub,
+    n_pad) bool mask of slots that additionally get a unit diagonal (padding
+    slots, so factorizations are well-posed).
+    """
+    d = dmask_sub.astype(bool)
+    keep = ~(d[:, :, None] | d[:, None, :])
+    A = jnp.where(keep, A, 0.0)
+    p = A.shape[-1]
+    eye = jnp.eye(p, dtype=A.dtype)
+    diag_one = d
+    if unit_diag_padding is not None:
+        diag_one = diag_one | unit_diag_padding
+    A = A + eye[None] * diag_one[:, :, None].astype(A.dtype)
+    return A
+
+
+def scale_matrix_with_pou(C: jnp.ndarray, pou: jnp.ndarray) -> jnp.ndarray:
+    """C[i][j] *= pou[i]*pou[j] (reference: detail::scale_matrix_with_pou,
+    coarse_spaces.hh:74-96) — dense batched version."""
+    return C * pou[:, :, None] * pou[:, None, :]

@@ -1,0 +1,143 @@
+"""M3: GenEO coarse space — batched GEVP correctness and two-level robustness.
+
+The headline property (BASELINE.md config 2): two-level GenEO-RAS iteration
+counts are small and robust to coefficient contrast, where one-level Schwarz
+degrades badly on heterogeneous problems.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.linalg
+
+from ddm_tpu.api import default_ptree, setup_problem, build_preconditioner, solve
+from ddm_tpu.config import ParamTree
+from ddm_tpu.eigen import EigensolverParams, solve_gevp_dense
+from ddm_tpu.fem import problems as prob
+from ddm_tpu.fem import structured_grid
+from ddm_tpu.solvers.krylov import gmres_solve, operator_of, prec_of
+from ddm_tpu.precond.schwarz import build_schwarz
+
+
+def test_dense_gevp_matches_scipy():
+    rng = np.random.default_rng(0)
+    n_sub, p = 3, 24
+    A = np.zeros((n_sub, p, p))
+    C = np.zeros((n_sub, p, p))
+    for s in range(n_sub):
+        Q = rng.normal(size=(p, p))
+        A[s] = Q @ np.diag(rng.uniform(0.1, 10, p)) @ Q.T
+        R = rng.normal(size=(p, p))
+        C[s] = R @ R.T
+    params = EigensolverParams(nev=5, threshold=-1.0)
+    lam, V, active = solve_gevp_dense(jnp.asarray(A), jnp.asarray(C), params)
+    for s in range(n_sub):
+        w = scipy.linalg.eigh(A[s], C[s], eigvals_only=True)
+        w = np.sort(w[np.isfinite(w)])
+        np.testing.assert_allclose(np.asarray(lam[s]), w[:5], rtol=1e-5)
+        # eigenvector residuals ||A v - lam C v||
+        for k in range(5):
+            v = np.asarray(V[s, k])
+            r = A[s] @ v - float(lam[s, k]) * (C[s] @ v)
+            assert np.linalg.norm(r) < 1e-5 * np.linalg.norm(A[s] @ v)
+
+
+def test_gevp_threshold_selection():
+    # diagonal pencil: A = diag(1..p), C = I -> lambda = 1..p
+    p = 16
+    A = jnp.asarray(np.diag(np.arange(1.0, p + 1))[None])
+    C = jnp.asarray(np.eye(p)[None])
+    params = EigensolverParams(nev=4, nev_max=12, threshold=6.5)
+    lam, V, active = solve_gevp_dense(A, C, params)
+    # kept: lambda in {1..6} (< 6.5)
+    assert int(active[0].sum()) == 6
+    np.testing.assert_allclose(np.asarray(lam[0][:6]), np.arange(1.0, 7.0), rtol=1e-10)
+
+
+def geneo_ptree(nev=8, threshold=-1.0):
+    pt = default_ptree()
+    pt["gridsize"] = 64
+    pt["overlap"] = 2
+    pt["solver.reduction"] = 1e-8
+    pt["coarsespace.type"] = "geneo"
+    pt["coarse_solver.type"] = "cholesky"
+    pt["geneo.eigensolver.nev"] = nev
+    pt["geneo.eigensolver.threshold"] = threshold
+    return pt
+
+
+def test_geneo_two_level_beats_one_level_on_islands():
+    pt = geneo_ptree(nev=8)
+    p = setup_problem(pt, problem=prob.islands(), parts=(4, 4))
+    fine = build_schwarz(p.A, p.topo, p.pou, pt)
+    r1 = gmres_solve(operator_of(p.A), prec_of(fine), p.rhs,
+                     jnp.zeros_like(p.rhs), reduction=1e-8, maxit=400,
+                     restart=50)
+    prec = build_preconditioner(p)
+    r2 = gmres_solve(operator_of(p.A), prec_of(prec), p.rhs,
+                     jnp.zeros_like(p.rhs), reduction=1e-8, maxit=400,
+                     restart=50)
+    assert bool(r2.converged)
+    assert int(r2.iterations) < int(r1.iterations) / 2, (
+        int(r1.iterations), int(r2.iterations))
+    assert int(r2.iterations) <= 30
+
+
+def test_geneo_contrast_robustness():
+    """GenEO iteration counts must be (nearly) contrast-independent."""
+    iters = {}
+    for contrast in (1e2, 1e6):
+        def alpha(xq, c=contrast):
+            ix = jnp.floor(xq[..., 0] * 8).astype(jnp.int32)
+            iy = jnp.floor(xq[..., 1] * 8).astype(jnp.int32)
+            return jnp.where(ix % 2 == iy % 2, c, 1.0)
+
+        problem = prob.Problem(alpha=alpha, f=lambda x: jnp.ones(x.shape[:-1]))
+        pt = geneo_ptree(nev=10)
+        p = setup_problem(pt, problem=problem, parts=(4, 4))
+        prec = build_preconditioner(p)
+        r = gmres_solve(operator_of(p.A), prec_of(prec), p.rhs,
+                        jnp.zeros_like(p.rhs), reduction=1e-8, maxit=400,
+                        restart=50)
+        assert bool(r.converged)
+        iters[contrast] = int(r.iterations)
+    assert iters[1e6] <= iters[1e2] + 6, iters
+
+
+def test_geneo_adaptive_threshold():
+    pt = geneo_ptree(nev=4, threshold=0.3)
+    pt["geneo.eigensolver.nev_max"] = 16
+    p = setup_problem(pt, problem=prob.islands(), parts=(4, 4))
+    from ddm_tpu.coarse.geneo import geneo_coarse_space
+
+    basis = geneo_coarse_space(p, pt)
+    counts = np.asarray(basis.active.sum(axis=1))
+    assert (counts >= 1).all() and (counts <= 16).all()
+    # heterogeneous subdomains need differing numbers of vectors
+    assert counts.min() != counts.max()
+
+
+def test_geneo_3d():
+    pt = geneo_ptree(nev=6)
+    pt["gridsize"] = 12
+    grid = structured_grid((12, 12, 12))
+    p = setup_problem(pt, problem=prob.simple(), grid=grid, parts=(2, 2, 2))
+    prec = build_preconditioner(p)
+    r = gmres_solve(operator_of(p.A), prec_of(prec), p.rhs,
+                    jnp.zeros_like(p.rhs), reduction=1e-8, maxit=200,
+                    restart=50)
+    assert bool(r.converged)
+    assert int(r.iterations) <= 25
+
+
+def test_algebraic_geneo():
+    pt = geneo_ptree(nev=8)
+    pt["coarsespace.type"] = "algebraic_geneo"
+    pt["algebraic_geneo.eigensolver.nev"] = 8
+    p = setup_problem(pt, problem=prob.islands(), parts=(4, 4))
+    prec = build_preconditioner(p)
+    r = gmres_solve(operator_of(p.A), prec_of(prec), p.rhs,
+                    jnp.zeros_like(p.rhs), reduction=1e-8, maxit=400,
+                    restart=50)
+    assert bool(r.converged)
+    assert int(r.iterations) <= 60
