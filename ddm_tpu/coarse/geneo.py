@@ -34,7 +34,7 @@ from ..fem.subassembly import (
     eliminate_dirichlet_dense,
     neumann_dense,
     scale_matrix_with_pou,
-    subdomain_element_lists,
+    subdomain_stamp_lists,
 )
 from ..precond.extract import gather_subdomain
 from .basis import CoarseBasis, finalize_basis
@@ -49,24 +49,23 @@ def neumann_matrices(p, region_b: str = "overlap"):
     eigenvalues unchanged and maps eigenvectors consistently.
     """
     disc, topo = p.disc, p.topo
-    Ke, _ = disc.element_matrices(
-        disc.problem if getattr(disc.problem, "symmetric", True)
-        else disc.problem.symmetrized()
-    )
-    sub_e, sub_l = subdomain_element_lists(
-        disc.grid.elems, topo, n_comp=disc.n_comp
-    )
-    A_neu = neumann_dense(Ke, jnp.asarray(sub_e), jnp.asarray(sub_l), topo.n_pad)
+    groups = disc.neumann_stamps()
+    A_neu = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
+    for dofs, K in groups:
+        sub_e, sub_l = subdomain_stamp_lists(dofs, topo)
+        A_neu = A_neu + neumann_dense(
+            K, jnp.asarray(sub_e), jnp.asarray(sub_l), topo.n_pad
+        )
     if region_b == "all":
         B_neu = A_neu
     else:
         ovlp_mask = topo.bdist <= 2 * topo.overlap
-        sub_e2, sub_l2 = subdomain_element_lists(
-            disc.grid.elems, topo, n_comp=disc.n_comp, dof_mask=ovlp_mask
-        )
-        B_neu = neumann_dense(
-            Ke, jnp.asarray(sub_e2), jnp.asarray(sub_l2), topo.n_pad
-        )
+        B_neu = jnp.zeros_like(A_neu)
+        for dofs, K in groups:
+            sub_e2, sub_l2 = subdomain_stamp_lists(dofs, topo, dof_mask=ovlp_mask)
+            B_neu = B_neu + neumann_dense(
+                K, jnp.asarray(sub_e2), jnp.asarray(sub_l2), topo.n_pad
+            )
 
     # same variables as the global operator (Jacobi equilibration is a
     # congruence transform: scale rows+cols by the gathered scale vector)

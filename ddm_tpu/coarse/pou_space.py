@@ -37,3 +37,32 @@ def pou_coarse_space(
     valid = jnp.asarray(topo.valid)
     active = jnp.ones((topo.n_sub, nev), bool)
     return finalize_basis(V_raw, jnp.asarray(pou), valid, active)
+
+
+def rigid_body_modes(nodes: np.ndarray, n_comp: int) -> list:
+    """Global rigid-body-mode template vectors for elasticity coarse spaces
+    (the near-kernel of the elastic operator): translations + rotations —
+    3 modes in 2D, 6 in 3D.  Dof layout: node-major, component-minor."""
+    import numpy as _np
+
+    n, d = nodes.shape
+    assert n_comp == d
+    x = nodes
+
+    def vec(field):
+        return jnp.asarray(_np.ascontiguousarray(field.reshape(-1)))
+
+    modes = []
+    for c in range(d):
+        t = _np.zeros((n, d))
+        t[:, c] = 1.0
+        modes.append(vec(t))
+    if d == 2:
+        r = _np.stack([-x[:, 1], x[:, 0]], axis=1)
+        modes.append(vec(r))
+    else:
+        r1 = _np.stack([-x[:, 1], x[:, 0], _np.zeros(n)], axis=1)
+        r2 = _np.stack([-x[:, 2], _np.zeros(n), x[:, 0]], axis=1)
+        r3 = _np.stack([_np.zeros(n), -x[:, 2], x[:, 1]], axis=1)
+        modes += [vec(r1), vec(r2), vec(r3)]
+    return modes

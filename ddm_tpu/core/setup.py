@@ -55,11 +55,8 @@ def setup_topology(
         elem_part = partition_elements(disc, n_sub=n_sub, parts=parts)
     n_parts = int(elem_part.max()) + 1
     adj = disc.adjacency()
-    M0 = dof_membership_from_elems(
-        disc.grid.elems, elem_part, disc.n_dofs, n_parts, n_comp=disc.n_comp
-    )
-    owner = dof_owner_lowest(
-        disc.grid.elems, elem_part, disc.n_dofs, n_comp=disc.n_comp
-    )
+    dofs = disc.dof_tuples()
+    M0 = dof_membership_from_elems(dofs, elem_part, disc.n_dofs, n_parts)
+    owner = dof_owner_lowest(dofs, elem_part, disc.n_dofs)
     topo = build_topology(adj, M0, owner, overlap, pad_to=pad_to)
     return topo, elem_part

@@ -167,20 +167,31 @@ def assemble_convection_diffusion(
     b_fn=None,
     c_fn=None,
     f_fn=None,
+    convection_divergence_form: bool = False,
 ):
     """Batched element matrices/vectors for the convection-diffusion form.
 
     xe: (n_e, nd, d).  Coefficient callables map (..., d) -> scalar
     ((..., d) -> (..., d) for the convection field ``b_fn``).
     Returns (Ke (n_e, nd, nd), fe (n_e, nd)).
+
+    convection_divergence_form: use -(u, b.grad v) instead of (b.grad u, v)
+    — the integrated-by-parts form required for consistency with upwind DG
+    face fluxes (assumes div b = 0, as PDELab's ConvectionDiffusionDG does).
     """
     xq, grads, jxw = element_geometry(quad, xe)
     alpha = alpha_fn(xq)  # (n_e, q)
     Ke = jnp.einsum("eq,eqig,eqjg->eij", jxw * alpha, grads, grads)
     if b_fn is not None:
         b = b_fn(xq)  # (n_e, q, d)
-        # + (b . grad u_j) v_i
-        Ke = Ke + jnp.einsum("eq,qi,eqd,eqjd->eij", jxw, quad.phi, b, grads)
+        if convection_divergence_form:
+            # - u_j (b . grad v_i)
+            Ke = Ke - jnp.einsum(
+                "eq,eqd,eqid,qj->eij", jxw, b, grads, quad.phi
+            )
+        else:
+            # + (b . grad u_j) v_i
+            Ke = Ke + jnp.einsum("eq,qi,eqd,eqjd->eij", jxw, quad.phi, b, grads)
     if c_fn is not None:
         c = c_fn(xq)
         Ke = Ke + jnp.einsum("eq,qi,qj->eij", jxw * c, quad.phi, quad.phi)
@@ -217,7 +228,6 @@ def assemble_linear_elasticity(
     # 0.5*(grad_c phi_i e_c + ...) contraction works out to
     #   0.5 * ( delta_ck (grad phi_i . grad phi_j) + dphi_i/dx_k dphi_j/dx_c )
     gg = jnp.einsum("eqig,eqjg->eqij", grads, grads)  # (e,q,i,j)
-    cross = jnp.einsum("eqik,eqjc->eqijck", grads, grads)  # d_i/dk * d_j/dc -> careful
     # eps(u):eps(v) for u = phi_j e_c, v = phi_i e_k:
     #   0.5 * ( delta_ck gg_ij + dphi_j/dx_k * dphi_i/dx_c )
     eye = jnp.eye(d)

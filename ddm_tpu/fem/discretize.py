@@ -102,6 +102,34 @@ class Discretization:
         return Ac, rhs, g
 
     # -- DDM inputs --------------------------------------------------------
+    def dof_tuples(self) -> np.ndarray:
+        """(n_elems, nl) global dof ids per element — the unit of dof
+        membership/ownership for the DDM topology."""
+        if self.n_comp == 1:
+            return self.grid.elems
+        return (
+            self.grid.elems[:, :, None] * self.n_comp + np.arange(self.n_comp)
+        ).reshape(self.grid.n_elems, -1)
+
+    def neumann_stamps(self, problem=None):
+        """Assembly stamps for subdomain Neumann matrices: list of
+        (global dof tuples (n_stamps, nl) numpy, blocks (n_stamps, nl, nl)
+        device array).  CG: one group, the element matrices.  Nonsymmetric
+        problems use the symmetrized (elliptic) operator, mirroring the
+        two-operator machinery of generic_ddm_problem.hh:169-220."""
+        p = problem or self.problem
+        if getattr(p, "symmetric", True) is False:
+            p = p.symmetrized()
+        Ke, _ = self.element_matrices(p)
+        if self.n_comp == 1:
+            dofs = self.grid.elems
+        else:
+            dofs = (
+                self.grid.elems[:, :, None] * self.n_comp
+                + np.arange(self.n_comp)
+            ).reshape(self.grid.n_elems, -1)
+        return [(dofs, Ke)]
+
     def adjacency(self) -> sps.csr_matrix:
         """Structurally-symmetric matrix-graph adjacency (pattern only)."""
         p = self.pattern

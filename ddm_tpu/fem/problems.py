@@ -156,6 +156,36 @@ def checkerboard_convection_diffusion(nx: int = 8, ny: int = 8) -> Problem:
     )
 
 
+def dg_heterogeneous() -> Problem:
+    """The reference's DG test problem (examples/convectiondiffusiondg.hh):
+    alpha = 0.01 with a 1e5 block in [0.3,0.4]^2, convection b = (1,1),
+    Gaussian source at (0.2, 0.2), Dirichlet g=0 everywhere except outflow at
+    x > 1-1e-6 or y > 1-1e-6."""
+
+    def alpha(xq):
+        x, y = xq[..., 0], xq[..., 1]
+        return jnp.where(
+            (x > 0.3) & (x < 0.4) & (y > 0.3) & (y < 0.4), 1e5, 0.01
+        )
+
+    def b(xq):
+        shape = xq.shape[:-1]
+        return jnp.stack([jnp.ones(shape), jnp.ones(shape)], axis=-1)
+
+    def f(xq):
+        r2 = (xq[..., 0] - 0.2) ** 2 + (xq[..., 1] - 0.2) ** 2
+        return 100.0 * jnp.exp(-r2 / 0.05**2)
+
+    return Problem(
+        alpha=alpha,
+        b=b,
+        f=f,
+        is_dirichlet=lambda x: (x[..., 0] <= 1.0 - 1e-6) & (x[..., 1] <= 1.0 - 1e-6),
+        name="dg_heterogeneous",
+        symmetric=False,
+    )
+
+
 @dataclass
 class ElasticityProblem:
     """Linear elasticity coefficients (reference: coefficient.lua +

@@ -29,26 +29,27 @@ import numpy as np
 from ..core.indexmaps import DDMTopology
 
 
-def subdomain_element_lists(
-    elems: np.ndarray,
+def subdomain_stamp_lists(
+    dofs: np.ndarray,
     topo: DDMTopology,
-    n_comp: int = 1,
     dof_mask: np.ndarray | None = None,
 ):
-    """Host: per subdomain, the elements fully inside its (masked) dof set.
+    """Host: per subdomain, the assembly *stamps* fully inside its (masked)
+    dof set.
+
+    A stamp is one atomic assembly contribution — a CG element matrix, a DG
+    volume block, or a DG face block — given by its global dof tuple
+    ``dofs[s] (nl,)``.  This generalizes the reference's element-level
+    Neumann-correction bookkeeping (assemblewrapper.hh volume *and* skeleton
+    paths) to any discretization.
 
     dof_mask: optional (n_sub, n_pad) bool restricting the region (e.g.
     bdist <= 2*overlap for the overlap-region Neumann matrix B_neu).
-    Returns (sub_elems (n_sub, max_e) int64 padded with n_elems,
-             sub_locs (n_sub, max_e, nd*n_comp) int32 padded with n_pad).
+    Returns (sub_elems (n_sub, max_e) int64 padded with n_stamps,
+             sub_locs (n_sub, max_e, nl) int32 padded with n_pad).
     """
-    n_e, nd = elems.shape
+    n_e, nl = dofs.shape
     n_sub, n_pad = topo.sub2glob.shape
-    if n_comp == 1:
-        dofs = elems
-    else:
-        dofs = (elems[:, :, None] * n_comp + np.arange(n_comp)).reshape(n_e, -1)
-    nl = dofs.shape[1]
 
     lists = []
     locs = []
@@ -70,6 +71,21 @@ def subdomain_element_lists(
         sub_elems[k, :m] = lists[k]
         sub_locs[k, :m] = locs[k]
     return sub_elems, sub_locs
+
+
+def subdomain_element_lists(
+    elems: np.ndarray,
+    topo: DDMTopology,
+    n_comp: int = 1,
+    dof_mask: np.ndarray | None = None,
+):
+    """Element-based convenience wrapper around subdomain_stamp_lists."""
+    n_e, nd = elems.shape
+    if n_comp == 1:
+        dofs = elems
+    else:
+        dofs = (elems[:, :, None] * n_comp + np.arange(n_comp)).reshape(n_e, -1)
+    return subdomain_stamp_lists(dofs, topo, dof_mask=dof_mask)
 
 
 def neumann_dense(

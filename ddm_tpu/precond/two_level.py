@@ -25,7 +25,15 @@ def build_coarse_space(p, cs_type: str, ptree: ParamTree):
     from ..coarse import pou_coarse_space
 
     if cs_type == "pou":
-        return pou_coarse_space(p.topo, p.pou)
+        templates = None
+        if p.disc.n_comp > 1:
+            from ..coarse.pou_space import rigid_body_modes
+
+            templates = rigid_body_modes(p.disc.grid.nodes, p.disc.n_comp)
+        return pou_coarse_space(
+            p.topo, p.pou, templates=templates,
+            dirichlet_mask=p.disc.dirichlet_mask,
+        )
     if cs_type in ("geneo", "algebraic_geneo"):
         from ..coarse.geneo import geneo_coarse_space
 

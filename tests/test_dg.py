@@ -1,0 +1,113 @@
+"""M4: Q1 SIPG DG — consistency, convergence, DDM solves (BASELINE config 3)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse.linalg as spla
+
+from ddm_tpu.config import ParamTree
+from ddm_tpu.core.indexmaps import pou_weights
+from ddm_tpu.core.setup import setup_topology
+from ddm_tpu.fem import structured_grid
+from ddm_tpu.fem import problems as prob
+from ddm_tpu.fem.dg import DGDiscretization
+from ddm_tpu.precond.schwarz import build_schwarz
+from ddm_tpu.solvers.krylov import gmres_solve, operator_of, prec_of
+
+
+def test_dg_reproduces_linear_exactly():
+    """SIPG is consistent: u = x lies in the Q1 DG space, so the discrete
+    solution must be exact (face terms must cancel perfectly)."""
+    grid = structured_grid((6, 6))
+    problem = prob.Problem(
+        g=lambda x: x[..., 0],
+        f=lambda x: jnp.zeros(x.shape[:-1]),
+    )
+    disc = DGDiscretization(grid, problem)
+    A, b, _ = disc.constrained_system()
+    Asp = disc.pattern.to_scipy(A).tocsc()
+    u = spla.spsolve(Asp, np.asarray(b))
+    x_coords = disc.node_coords_dg()[:, 0]
+    np.testing.assert_allclose(u, x_coords, atol=1e-10)
+
+
+def test_dg_poisson_convergence():
+    errs = []
+    for nc in (8, 16):
+        grid = structured_grid((nc, nc))
+        problem = prob.Problem(
+            f=lambda x: 2 * np.pi**2
+            * jnp.sin(np.pi * x[..., 0]) * jnp.sin(np.pi * x[..., 1]),
+        )
+        disc = DGDiscretization(grid, problem)
+        A, b, _ = disc.constrained_system()
+        u = spla.spsolve(disc.pattern.to_scipy(A).tocsc(), np.asarray(b))
+        xy = disc.node_coords_dg()
+        exact = np.sin(np.pi * xy[:, 0]) * np.sin(np.pi * xy[:, 1])
+        errs.append(np.abs(u - exact).max())
+    assert errs[0] / errs[1] > 3.0, errs
+
+
+def test_dg_upwind_convection_stable():
+    """Convection-dominated: SIPG+upwind must produce a bounded solution."""
+    grid = structured_grid((16, 16))
+    problem = prob.Problem(
+        alpha=lambda x: jnp.full(x.shape[:-1], 1e-4),
+        b=lambda x: jnp.stack(
+            [jnp.ones(x.shape[:-1]), jnp.zeros(x.shape[:-1])], -1),
+        g=lambda x: jnp.where(x[..., 0] < 1e-6, 1.0, 0.0),
+        is_dirichlet=lambda x: x[..., 0] <= 1.0 - 1e-6,
+        symmetric=False,
+    )
+    disc = DGDiscretization(grid, problem)
+    A, b, _ = disc.constrained_system()
+    u = spla.spsolve(disc.pattern.to_scipy(A).tocsc(), np.asarray(b))
+    assert np.isfinite(u).all()
+    assert u.max() < 1.3 and u.min() > -0.3
+
+
+def dg_reference_setup(cells=32, parts=(4, 4), overlap=2):
+    grid = structured_grid((cells, cells))
+    disc = DGDiscretization(grid, prob.dg_heterogeneous())
+    A, b, _ = disc.constrained_system()
+    topo, _ = setup_topology(disc, overlap=overlap, parts=parts)
+    pou = pou_weights(topo, "standard")
+    return disc, A, b, topo, pou
+
+
+def test_dg_ras_gmres_converges():
+    disc, A, b, topo, pou = dg_reference_setup()
+    pt = ParamTree(
+        {"schwarz": {"type": "restricted", "subdomain_solver": {"type": "lu"}}}
+    )
+    P = build_schwarz(A, topo, pou, pt)
+    res = gmres_solve(operator_of(A), prec_of(P), b, jnp.zeros_like(b),
+                      reduction=1e-8, maxit=300, restart=50)
+    assert bool(res.converged)
+    x_ref = spla.spsolve(disc.pattern.to_scipy(A).tocsc(), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(res.x), x_ref, atol=1e-5 * np.abs(x_ref).max()
+    )
+
+
+def test_dg_geneo_two_level():
+    """Two-level GenEO on the nonsymmetric DG system, multiplicative mode as
+    in the reference's convectiondiffusiondg.ini.  At this small size the
+    one-level method is already strong (the coarse level pays off at scale);
+    this checks the full DG GenEO pipeline (elliptic/symmetrized eigenproblem
+    from volume+skeleton Neumann stamps) runs and converges."""
+    from ddm_tpu.api import DDMProblem, build_preconditioner, default_ptree
+
+    disc, A, b, topo, pou = dg_reference_setup()
+    pt = default_ptree()
+    pt["coarsespace.type"] = "geneo"
+    pt["coarse_solver.type"] = "lu"
+    pt["geneo.eigensolver.nev"] = 6
+    pt["combined_preconditioner.mode"] = "multiplicative"
+    p = DDMProblem(disc=disc, topo=topo, A=A, rhs=b, g=jnp.zeros_like(b),
+                   pou=pou, ptree=pt, elem_part=None, scale=None)
+    prec = build_preconditioner(p)
+    res = gmres_solve(operator_of(A), prec_of(prec), b, jnp.zeros_like(b),
+                      reduction=1e-8, maxit=300, restart=50)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 120
