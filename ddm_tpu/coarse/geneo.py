@@ -83,6 +83,46 @@ def neumann_matrices(p, region_b: str = "overlap"):
     return A_neu, B_neu
 
 
+def dirichlet_dense(p):
+    """Dense batch of overlapping Dirichlet matrices A_dir (in the same,
+    optionally equilibrated, variables as p.A) + the subdomain Dirichlet
+    masks.  Used by the extension/ring/msgfem/svd coarse spaces."""
+    from ..core.indexmaps import extraction_map
+    from ..precond.extract import extract_subdomain_dense
+
+    topo = p.topo
+    lc = extraction_map(topo, np.asarray(p.A.cols))
+    A_dir = extract_subdomain_dense(
+        p.A, jnp.asarray(topo.sub2glob), jnp.asarray(topo.valid), jnp.asarray(lc)
+    )
+    dmask_sub = gather_subdomain(
+        p.disc.dirichlet_mask.astype(jnp.float64), jnp.asarray(topo.sub2glob)
+    ) > 0
+    dmask_sub = dmask_sub & jnp.asarray(topo.valid)
+    return A_dir, dmask_sub
+
+
+def region_neumann(p, dof_mask):
+    """Neumann matrix of a sub-region: element/face stamps fully inside the
+    per-subdomain dof mask (reference: the matrix_size_eq_subdomain=false
+    ring assembly path, examples/pdelab_helper.hh:343-396 — here kept at full
+    padded size with zeros outside the region)."""
+    disc, topo = p.disc, p.topo
+    groups = disc.neumann_stamps()
+    A = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
+    for dofs, K in groups:
+        se, sl = subdomain_stamp_lists(dofs, topo, dof_mask=np.asarray(dof_mask))
+        A = A + neumann_dense(K, jnp.asarray(se), jnp.asarray(sl), topo.n_pad)
+    if p.scale is not None:
+        s_sub = gather_subdomain(p.scale, jnp.asarray(topo.sub2glob))
+        A = A * s_sub[:, :, None] * s_sub[:, None, :]
+    dmask_sub = gather_subdomain(
+        p.disc.dirichlet_mask.astype(jnp.float64), jnp.asarray(topo.sub2glob)
+    ) > 0
+    A = eliminate_dirichlet_dense(A, dmask_sub & jnp.asarray(topo.valid))
+    return A
+
+
 def algebraic_neumann(p):
     """Matrix-only Neumann approximation (Al Daas/Jolivet/Rees):
     A_neu = A_dir - diag(corrections), corrections[i] = sum of |A[i,j]| over

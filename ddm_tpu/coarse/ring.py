@@ -1,0 +1,140 @@
+"""Ring coarse spaces: eigenproblems restricted to the overlap ring +
+energy-minimal extension to the interior.
+
+Rebuilds GenEORingCoarseSpace (coarse_spaces.hh:502-648) and
+MsGFEMRingCoarseSpace (coarse_spaces.hh:913-1163) — the reference's principal
+"make the expensive part smaller" device (SURVEY.md §5.7): the per-subdomain
+eigenproblem shrinks from subdomain size to the overlap-ring size, and the
+eigenvectors are extended energy-minimally inward.
+
+All of the reference's index bookkeeping (ring_to_subdomain maps, reordering,
+hash sets for boundary layers) collapses into boolean masks on the padded
+dense batch:
+
+* geneo_ring: ring = bdist <= 2*overlap + 1 (NeumannRegion::ExtendedOverlap,
+  pdelab_schwarz.hh:66); eigenproblem (A_ring, mod_pou-scaled A_ring) with
+  mod_pou zeroed outside the ring and on its inner boundary; extension with
+  Dirichlet data one layer inside the inner ring boundary
+  (coarse_spaces.hh:572-598).
+* msgfem_ring: ring = bdist <= 2*overlap (NeumannRegion::Overlap); ring_width
+  = 2*overlap - 2*shrink; A-harmonicity constraint on the ring interior; B
+  weighted by mod_pou zeroed at bdist >= shrink + ring_width; extension from
+  the bdist == shrink + ring_width - 1 layer (coarse_spaces.hh:1098-1110).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ParamTree
+from ..eigen.dense_gevp import solve_gevp_dense
+from ..eigen.params import EigensolverParams
+from ..fem.subassembly import scale_matrix_with_pou
+from .basis import finalize_basis
+from .extension import energy_minimal_extension, harmonic_parameter_basis
+from .geneo import dirichlet_dense, region_neumann
+
+
+def _adjacent_to(topo, target_mask: np.ndarray, within: np.ndarray) -> np.ndarray:
+    """(n_sub, n_pad) bool: dofs in ``within`` with a matrix-graph neighbour
+    in ``target_mask`` (host, via the local-column extraction map)."""
+    from ..core.indexmaps import extraction_map
+
+    lc = extraction_map(topo, _adjacent_to._cols)  # (n_sub, n_pad, m)
+    n_pad = topo.n_pad
+    tm = np.concatenate([target_mask, np.zeros((topo.n_sub, 1), bool)], axis=1)
+    hit = np.take_along_axis(
+        tm, lc.reshape(topo.n_sub, -1), axis=1
+    ).reshape(lc.shape)
+    return within & hit.any(axis=2)
+
+
+def _prepare_adjacency(topo, ell_cols: np.ndarray):
+    _adjacent_to._cols = ell_cols
+
+
+def geneo_ring_coarse_space(p, ptree: ParamTree):
+    topo = p.topo
+    params = EigensolverParams.from_ptree(ptree.sub("geneo_ring.eigensolver"))
+    pou = jnp.asarray(p.pou)
+    valid = topo.valid
+    _prepare_adjacency(topo, np.asarray(p.A.cols))
+
+    ring = valid & (topo.bdist <= 2 * topo.overlap + 1)
+    not_ring = valid & ~ring
+    # inner ring boundary: ring dofs with a neighbour outside the ring
+    irb = _adjacent_to(topo, not_ring, ring)
+    # layer one inside the ring: ring\irb dofs adjacent to irb
+    inside_rb = _adjacent_to(topo, irb, ring & ~irb)
+    # extension free set: interior + inner ring boundary
+    ext_free = not_ring | irb
+
+    # ring Neumann matrix (ExtendedOverlap region)
+    A_ring = region_neumann(p, ring)
+    # restrict the pencil to ring dofs: identity rows in A, zero in C
+    ring_j = jnp.asarray(ring)
+    off = ~ring_j
+    eye = jnp.eye(topo.n_pad)
+    keep = ring_j[:, :, None] & ring_j[:, None, :]
+    A_eig = jnp.where(keep, A_ring, 0.0) + eye[None] * off[:, :, None]
+
+    mod_pou = jnp.where(jnp.asarray(ring & ~irb), pou, 0.0)
+    C = scale_matrix_with_pou(jnp.where(keep, A_ring, 0.0), mod_pou)
+
+    lam, V_ring, active = solve_gevp_dense(A_eig, C, params)
+
+    A_dir, dmask = dirichlet_dense(p)
+    data = jnp.where(jnp.asarray(inside_rb)[:, None, :], V_ring, 0.0)
+    ext = energy_minimal_extension(A_dir, jnp.asarray(ext_free), data)
+    combined = jnp.where(jnp.asarray(ext_free)[:, None, :], ext, V_ring)
+    combined = jnp.where(jnp.asarray(valid)[:, None, :], combined, 0.0)
+    return finalize_basis(combined, pou, jnp.asarray(valid), active)
+
+
+def msgfem_ring_coarse_space(p, ptree: ParamTree):
+    topo = p.topo
+    params = EigensolverParams.from_ptree(ptree.sub("msgfem_ring.eigensolver"))
+    shrink = ptree.sub("pou").get("shrink", 0)
+    pou = jnp.asarray(p.pou)
+    valid = topo.valid
+    ov = topo.overlap
+    ring_width = 2 * ov - 2 * shrink
+
+    ring = valid & (topo.bdist <= 2 * ov)
+    inside_rb = ring & (topo.bdist == 2 * ov)  # innermost ring layer
+    A_dir, dmask = dirichlet_dense(p)
+    dmask_np = np.asarray(dmask)
+
+    # dof classes within the ring (coarse_spaces.hh:986-1001)
+    bnd_class = ring & (np.asarray(topo.boundary) | np.asarray(inside_rb)) & ~dmask_np
+    int_class = ring & ~bnd_class & ~dmask_np
+
+    A_ring = region_neumann(p, ring)
+    ring_j = jnp.asarray(ring & ~dmask_np)
+    keep = ring_j[:, :, None] & ring_j[:, None, :]
+    A_r = jnp.where(keep, A_ring, 0.0)
+
+    # mod_pou zeroed at bdist >= shrink + ring_width (coarse_spaces.hh:971-973)
+    mod_pou = jnp.where(jnp.asarray(topo.bdist < shrink + ring_width), pou, 0.0)
+    B = scale_matrix_with_pou(A_r, mod_pou)
+
+    # reduced GEVP on the A-harmonic (w.r.t. A_ring) space
+    H = harmonic_parameter_basis(A_r + jnp.eye(topo.n_pad)[None] *
+                                 (~ring_j)[:, :, None],
+                                 jnp.asarray(int_class), jnp.asarray(bnd_class))
+    Ahat = jnp.einsum("spk,spq,sql->skl", H, A_r, H)
+    Bhat = jnp.einsum("spk,spq,sql->skl", H, B, H)
+    par = jnp.asarray(bnd_class)
+    Ahat = Ahat + jnp.eye(topo.n_pad)[None] * (~par)[:, :, None]
+    lam, W, active = solve_gevp_dense(Ahat, Bhat, params)
+    V_ring = jnp.einsum("spq,skq->skp", H, W)
+
+    # extension from the bdist == shrink + ring_width - 1 layer
+    ext_bnd = valid & (topo.bdist == shrink + ring_width - 1)
+    ext_free = valid & (topo.bdist > shrink + ring_width - 1)
+    data = jnp.where(jnp.asarray(ext_bnd)[:, None, :], V_ring, 0.0)
+    ext = energy_minimal_extension(A_dir, jnp.asarray(ext_free), data)
+    combined = jnp.where(jnp.asarray(ext_free)[:, None, :], ext, V_ring)
+    combined = jnp.where(jnp.asarray(valid)[:, None, :], combined, 0.0)
+    return finalize_basis(combined, pou, jnp.asarray(valid), active)

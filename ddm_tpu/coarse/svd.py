@@ -1,0 +1,69 @@
+"""SVD coarse space (coarse_spaces.hh:1268-1407).
+
+Basis = first n left singular vectors of T = D * A_ii^{-1} * A_{i,Gamma}
+(interior-restricted POU times the interior solve of boundary couplings).
+The reference builds T column-by-column with UMFPACK solves and runs Eigen's
+BDC-SVD per rank sequentially; here T forms as one batched masked solve and
+``jnp.linalg.svd`` runs over the whole subdomain batch at once.
+
+Config subtree ``svd_coarse_space``: ``n`` (default 10), ``mult_pou``
+(default false — the U columns are orthonormal already).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ParamTree
+from ..solvers.direct import factor_batched
+from .basis import CoarseBasis, finalize_basis
+from .extension import masked_operator
+from .geneo import dirichlet_dense
+
+
+def svd_coarse_space(p, ptree: ParamTree):
+    topo = p.topo
+    sub = ptree.sub("svd_coarse_space")
+    nev = sub.get("n", 10)
+    mult_pou = sub.get("mult_pou", False)
+
+    A_dir, dmask = dirichlet_dense(p)
+    dmask_np = np.asarray(dmask)
+    boundary = topo.valid & np.asarray(topo.boundary) & ~dmask_np
+    interior = topo.valid & ~np.asarray(topo.boundary) & ~dmask_np
+    im = jnp.asarray(interior)
+    bm = jnp.asarray(boundary)
+
+    Aib = jnp.where(im[:, :, None] & bm[:, None, :], A_dir, 0.0)
+    M = masked_operator(A_dir, im)
+    fac = factor_batched(M, "lu", mode="factors")
+    T = fac.solve(Aib)
+    T = jnp.where(im[:, :, None] & bm[:, None, :], T, 0.0)
+    T = T * jnp.asarray(p.pou)[:, :, None]  # D * T (interior rows)
+
+    U, s, _ = jnp.linalg.svd(T, full_matrices=False)
+    V = U[:, :, :nev].transpose(0, 2, 1)  # (n_sub, nev, p)
+    V = jnp.where(im[:, None, :], V, 0.0)
+    active = jnp.ones((topo.n_sub, nev), bool)
+    if mult_pou:
+        return finalize_basis(V, jnp.asarray(p.pou), jnp.asarray(topo.valid), active)
+    return CoarseBasis(V=V, active=active)
+
+
+def singular_values(p) -> np.ndarray:
+    """Diagnostic: the singular-value spectra (reference writes them to
+    singular_values_<rank>.txt, coarse_spaces.hh:1387-1391)."""
+    import jax.numpy as jnp
+
+    A_dir, dmask = dirichlet_dense(p)
+    topo = p.topo
+    dmask_np = np.asarray(dmask)
+    boundary = topo.valid & np.asarray(topo.boundary) & ~dmask_np
+    interior = topo.valid & ~np.asarray(topo.boundary) & ~dmask_np
+    im, bm = jnp.asarray(interior), jnp.asarray(boundary)
+    Aib = jnp.where(im[:, :, None] & bm[:, None, :], A_dir, 0.0)
+    fac = factor_batched(masked_operator(A_dir, im), "lu", mode="factors")
+    T = jnp.where(im[:, :, None] & bm[:, None, :], fac.solve(Aib), 0.0)
+    T = T * jnp.asarray(p.pou)[:, :, None]
+    return np.asarray(jnp.linalg.svd(T, compute_uv=False))

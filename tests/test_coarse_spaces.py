@@ -1,0 +1,95 @@
+"""M7: the full coarse-space zoo (SURVEY.md §2.2) — every variant the
+reference ships must build and precondition effectively."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ddm_tpu.api import build_preconditioner, default_ptree, setup_problem
+from ddm_tpu.fem import problems as prob
+from ddm_tpu.precond.schwarz import build_schwarz
+from ddm_tpu.solvers.krylov import gmres_solve, operator_of, prec_of
+
+
+def islands_problem(cs_type, **keys):
+    pt = default_ptree()
+    pt["gridsize"] = 48
+    pt["overlap"] = 2
+    pt["coarsespace.type"] = cs_type
+    pt["coarse_solver.type"] = "lu"
+    for k, v in keys.items():
+        pt[k] = v
+    p = setup_problem(pt, problem=prob.islands(), parts=(4, 4))
+    return p, pt
+
+
+def run(p):
+    prec = build_preconditioner(p)
+    res = gmres_solve(operator_of(p.A), prec_of(prec), p.rhs,
+                      jnp.zeros_like(p.rhs), reduction=1e-8, maxit=400,
+                      restart=50)
+    return prec, res
+
+
+@pytest.mark.parametrize(
+    "cs,keys,max_iters",
+    [
+        ("geneo", {"geneo.eigensolver.nev": 8}, 30),
+        ("constraint_geneo", {"constraint_geneo.eigensolver.nev": 8}, 30),
+        ("geneo_ring", {"geneo_ring.eigensolver.nev": 8}, 40),
+        ("msgfem", {"msgfem.eigensolver.nev": 10}, 45),
+        ("msgfem_euclid", {"msgfem_euclid.eigensolver.nev": 10}, 80),
+        ("msgfem_ring", {"msgfem_ring.eigensolver.nev": 10}, 60),
+        ("algebraic_msgfem", {"algebraic_msgfem.eigensolver.nev": 10}, 80),
+        ("harmonic_extension", {"harmonic_extension.n_basis_vectors": 8}, 120),
+        ("svd", {"svd_coarse_space.n": 10}, 90),
+        ("pou", {}, 110),
+    ],
+)
+def test_coarse_space_variants_converge(cs, keys, max_iters):
+    p, pt = islands_problem(cs, **keys)
+    prec, res = run(p)
+    assert bool(res.converged), cs
+    assert int(res.iterations) <= max_iters, (cs, int(res.iterations))
+
+
+def test_ring_competitive_with_full_geneo():
+    """The ring eigenproblem + extension should come close to classic GenEO
+    (it is the reference's cheaper approximation of it)."""
+    p1, _ = islands_problem("geneo", **{"geneo.eigensolver.nev": 8})
+    _, r1 = run(p1)
+    p2, _ = islands_problem("geneo_ring", **{"geneo_ring.eigensolver.nev": 8})
+    _, r2 = run(p2)
+    assert int(r2.iterations) <= 3 * max(int(r1.iterations), 10)
+
+
+def test_svd_basis_orthonormal():
+    from ddm_tpu.coarse.svd import svd_coarse_space
+
+    p, pt = islands_problem("svd", **{"svd_coarse_space.n": 6})
+    basis = svd_coarse_space(p, pt)
+    V = np.asarray(basis.V)
+    for s in range(V.shape[0]):
+        G = V[s] @ V[s].T
+        np.testing.assert_allclose(G, np.eye(G.shape[0]), atol=1e-8)
+
+
+def test_harmonic_extension_is_a_harmonic():
+    """Extended vectors must satisfy (A v)_i ~ 0 at interior dofs away from
+    the data."""
+    from ddm_tpu.coarse.extension import energy_minimal_extension
+    from ddm_tpu.coarse.geneo import dirichlet_dense
+
+    p, pt = islands_problem("pou")
+    A_dir, dmask = dirichlet_dense(p)
+    topo = p.topo
+    boundary = jnp.asarray(topo.valid & np.asarray(topo.boundary))
+    interior = jnp.asarray(topo.valid) & ~boundary
+    rng = np.random.default_rng(0)
+    data = jnp.where(boundary[None][0][:, None, :],
+                     jnp.asarray(rng.normal(size=(topo.n_sub, 3, topo.n_pad))),
+                     0.0)
+    V = energy_minimal_extension(A_dir, interior, data)
+    R = jnp.einsum("spq,skq->skp", A_dir, V)
+    R_int = jnp.where(interior[:, None, :], R, 0.0)
+    assert float(jnp.abs(R_int).max()) < 1e-8 * float(jnp.abs(V).max() + 1)
