@@ -1,22 +1,25 @@
 #!/usr/bin/env python
-"""Benchmark: RAS-preconditioned GMRES on heterogeneous Poisson.
+"""Benchmark: two-level GenEO-RAS on heterogeneous Poisson (BASELINE config 2
+class).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N}
 
-value       = TPU wall-clock for preconditioner setup + Krylov solve
-              (steady state: second run, compile excluded — the reference has
-              no JIT either), f64.
-vs_baseline = cpu_reference_seconds / tpu_seconds, where the baseline runs
-              the *same algorithm the reference uses* on host CPU: per-
-              subdomain sparse LU factorizations (scipy SuperLU, UMFPACK
-              class) executed sequentially + GMRES(50) with sequential RAS
-              applies via scipy.  This emulates the reference's single-node
-              MPI CPU path (dune-ddm publishes no numbers of its own —
-              BASELINE.md).
+value       = TPU wall-clock for the FULL preconditioner setup (subdomain
+              extraction + factorization + Neumann assembly + batched GenEO
+              eigensolves + coarse matrix + coarse factorization) + the
+              GMRES solve to 1e-8, steady state (second run; compile
+              excluded — the reference has no JIT either).
+vs_baseline = cpu_reference_seconds / tpu_seconds.  The CPU baseline runs
+              the *reference's algorithm* on host: per-subdomain sparse LU
+              (SuperLU = UMFPACK-class) + per-subdomain shift-invert Lanczos
+              GEVPs (scipy eigsh = Spectra-class), executed sequentially as
+              the per-rank code would, + scipy GMRES with sequential
+              two-level applies.  dune-ddm publishes no numbers of its own
+              (BASELINE.md), so this emulation is the baseline.
 
-Config via env: DDM_BENCH_GRIDSIZE (default 192), DDM_BENCH_PARTS (default 4
--> 4x4 subdomains), DDM_BENCH_OVERLAP (default 2).
+Config via env: DDM_BENCH_GRIDSIZE (192), DDM_BENCH_PARTS (8 -> 64
+subdomains), DDM_BENCH_OVERLAP (2), DDM_BENCH_NEV (8).
 """
 
 import json
@@ -31,109 +34,135 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_problem(gridsize, parts, overlap):
+def build_problem(gridsize, parts, overlap, nev):
     from ddm_tpu.api import default_ptree, setup_problem
+    from ddm_tpu.fem import problems as pm
 
     pt = default_ptree()
     pt["gridsize"] = gridsize
     pt["overlap"] = overlap
     pt["solver.reduction"] = 1e-8
-    p = setup_problem(pt, parts=(parts, parts))
-    from ddm_tpu.fem import problems as pm
-
-    # heterogeneous islands coefficient (reference islands/Lua problem)
-    pt2 = default_ptree()
-    pt2["gridsize"] = gridsize
-    pt2["overlap"] = overlap
-    pt2["solver.reduction"] = 1e-8
-    p = setup_problem(pt2, problem=pm.islands(), parts=(parts, parts))
-    return p
+    pt["coarsespace.type"] = "geneo"
+    pt["coarse_solver.type"] = "cholesky"
+    pt["geneo.eigensolver.nev"] = nev
+    return setup_problem(pt, problem=pm.islands(), parts=(parts, parts))
 
 
-def run_tpu(p):
+def run_tpu(p, nev):
     import jax
     import jax.numpy as jnp
 
-    from ddm_tpu.core.indexmaps import extraction_map
-    from ddm_tpu.precond.extract import extract_subdomain_dense
-    from ddm_tpu.precond.schwarz import SchwarzPreconditioner
-    from ddm_tpu.solvers.direct import factor_batched
+    from ddm_tpu.api import build_preconditioner
     from ddm_tpu.solvers.krylov import gmres_solve, operator_of, prec_of
 
-    local_cols = jnp.asarray(extraction_map(p.topo, np.asarray(p.A.cols)))
-    sub2glob = jnp.asarray(p.topo.sub2glob)
-    valid = jnp.asarray(p.topo.valid)
-    pou = jnp.asarray(p.pou)
-
-    @jax.jit
-    def setup(ell):
-        A_sub = extract_subdomain_dense(ell, sub2glob, valid, local_cols)
-        return factor_batched(A_sub, "cholesky")
-
-    def solve(ell, factors, b):
-        prec = SchwarzPreconditioner(
-            sub2glob=sub2glob, valid=valid, pou=pou, factors=factors
-        )
-        return gmres_solve(
-            operator_of(ell), prec_of(prec), b, jnp.zeros_like(b),
+    timings = {}
+    for attempt in range(2):
+        t0 = time.perf_counter()
+        prec = build_preconditioner(p)
+        jax.block_until_ready(jax.tree_util.tree_leaves(prec))
+        t1 = time.perf_counter()
+        res = gmres_solve(
+            operator_of(p.A), prec_of(prec), p.rhs, jnp.zeros_like(p.rhs),
             reduction=1e-8, maxit=400, restart=50,
         )
-
-    timings = {}
-    for attempt in range(2):  # first run compiles; report the second
-        t0 = time.perf_counter()
-        factors = setup(p.A)
-        jax.block_until_ready(factors)
-        t1 = time.perf_counter()
-        res = solve(p.A, factors, p.rhs)
         jax.block_until_ready(res.x)
         t2 = time.perf_counter()
-        timings = {"setup": t1 - t0, "solve": t2 - t1, "iters": int(res.iterations),
-                   "converged": bool(res.converged)}
+        timings = {
+            "setup": t1 - t0, "solve": t2 - t1,
+            "iters": int(res.iterations), "converged": bool(res.converged),
+        }
         log(f"tpu attempt {attempt}: {timings}")
     return timings
 
 
-def run_cpu_baseline(p):
+def run_cpu_baseline(p, nev):
     import scipy.sparse as sps
     import scipy.sparse.linalg as spla
+
+    import jax.numpy as jnp
+    from ddm_tpu.coarse.geneo import neumann_matrices
+    from ddm_tpu.fem.subassembly import scale_matrix_with_pou
 
     Asp = p.disc.pattern.to_scipy(p.A).tocsc()
     b = np.asarray(p.rhs)
     topo = p.topo
     n = Asp.shape[0]
 
+    # Neumann matrices: reuse the (device-assembled) element sums; the
+    # reference assembles these during FEM assembly, so their cost is not
+    # charged to either side.
+    A_neu_d, B_neu_d = neumann_matrices(p)
+    C_d = scale_matrix_with_pou(B_neu_d, jnp.asarray(p.pou))
+    A_neu = np.asarray(A_neu_d)
+    C = np.asarray(C_d)
+
     t0 = time.perf_counter()
-    lus = []
-    subids = []
+    lus, subids, pou_rows = [], [], []
     for k in range(topo.n_sub):
         ids = topo.sub2glob[k, topo.valid[k]].astype(np.int64)
         subids.append(ids)
+        pou_rows.append(np.asarray(p.pou[k, topo.valid[k]]))
         lus.append(spla.splu(Asp[ids][:, ids].tocsc()))
-    t1 = time.perf_counter()
+    t_factor = time.perf_counter() - t0
 
-    pou_rows = [np.asarray(p.pou[k, topo.valid[k]]) for k in range(topo.n_sub)]
+    # per-subdomain shift-invert Lanczos GEVPs (Spectra-equivalent)
+    t0 = time.perf_counter()
+    basis_rows = []
+    for k in range(topo.n_sub):
+        m = topo.valid[k]
+        ids = np.nonzero(m)[0]
+        Ak = sps.csr_matrix(A_neu[k][np.ix_(ids, ids)])
+        Ck = sps.csr_matrix(C[k][np.ix_(ids, ids)])
+        try:
+            vals, vecs = spla.eigsh(
+                Ak, k=nev, M=Ck, sigma=1e-3, which="LM", maxiter=1000,
+                tol=1e-5,
+            )
+        except Exception as e:  # mirror Spectra's retry with larger basis
+            log(f"eigsh failed on subdomain {k}: {e}; retrying with ncv")
+            vals, vecs = spla.eigsh(
+                Ak, k=nev, M=Ck, sigma=1e-3, which="LM", maxiter=2000,
+                tol=1e-4, ncv=min(4 * nev, ids.size),
+            )
+        w = pou_rows[k][:, None] * vecs
+        w = w / np.maximum(np.linalg.norm(w, axis=0), 1e-300)
+        basis_rows.append((ids, w))
+    t_eig = time.perf_counter() - t0
 
-    def ras(d):
+    # coarse matrix + factorization
+    t0 = time.perf_counter()
+    nc = topo.n_sub * nev
+    R = sps.lil_matrix((nc, n))
+    for k, (ids, w) in enumerate(basis_rows):
+        for j in range(nev):
+            R[k * nev + j, ids] = w[:, j]
+    R = R.tocsr()
+    E = (R @ Asp @ R.T).toarray()
+    from scipy.linalg import lu_factor, lu_solve
+
+    Elu = lu_factor(E)
+    t_coarse = time.perf_counter() - t0
+
+    def prec_apply(d):
         x = np.zeros(n)
         for k in range(topo.n_sub):
             x[subids[k]] += pou_rows[k] * lus[k].solve(d[subids[k]])
+        alpha = R @ d
+        x += R.T @ lu_solve(Elu, alpha)
         return x
 
-    M = spla.LinearOperator((n, n), matvec=ras)
+    M = spla.LinearOperator((n, n), matvec=prec_apply)
     it = [0]
-
-    def cb(_):
-        it[0] += 1
-
-    x, info = spla.gmres(
-        Asp, b, rtol=1e-8, atol=0.0, restart=50, maxiter=400, M=M,
-        callback=cb, callback_type="pr_norm",
-    )
-    t2 = time.perf_counter()
-    res = np.linalg.norm(b - Asp @ x) / np.linalg.norm(b)
-    out = {"setup": t1 - t0, "solve": t2 - t1, "iters": it[0], "resid": res,
-           "converged": info == 0}
+    t0 = time.perf_counter()
+    x, info = spla.gmres(Asp, b, rtol=1e-8, atol=0.0, restart=50,
+                         maxiter=400, M=M, callback=lambda *_: it.__setitem__(0, it[0] + 1),
+                         callback_type="pr_norm")
+    t_solve = time.perf_counter() - t0
+    out = {
+        "factor": t_factor, "eig": t_eig, "coarse": t_coarse,
+        "solve": t_solve, "iters": it[0], "converged": info == 0,
+        "setup": t_factor + t_eig + t_coarse,
+    }
     log(f"cpu baseline: {out}")
     return out
 
@@ -142,28 +171,25 @@ def main():
     gridsize = int(os.environ.get("DDM_BENCH_GRIDSIZE", "192"))
     parts = int(os.environ.get("DDM_BENCH_PARTS", "8"))
     overlap = int(os.environ.get("DDM_BENCH_OVERLAP", "2"))
+    nev = int(os.environ.get("DDM_BENCH_NEV", "8"))
 
     t0 = time.perf_counter()
-    p = build_problem(gridsize, parts, overlap)
-    log(f"host setup (grid+assembly+topology): {time.perf_counter()-t0:.3f}s; "
-        f"n={p.disc.n_dofs} n_sub={p.topo.n_sub} n_pad={p.topo.n_pad}")
+    p = build_problem(gridsize, parts, overlap, nev)
+    log(f"host setup: {time.perf_counter()-t0:.3f}s; n={p.disc.n_dofs} "
+        f"n_sub={p.topo.n_sub} n_pad={p.topo.n_pad}")
 
-    tpu = run_tpu(p)
-    cpu = run_cpu_baseline(p)
+    tpu = run_tpu(p, nev)
+    cpu = run_cpu_baseline(p, nev)
 
     tpu_total = tpu["setup"] + tpu["solve"]
     cpu_total = cpu["setup"] + cpu["solve"]
-    print(
-        json.dumps(
-            {
-                "metric": f"poisson_islands_ras_gmres_{gridsize}x{gridsize}_"
-                          f"{parts * parts}sub_setup_solve",
-                "value": round(tpu_total, 4),
-                "unit": "s",
-                "vs_baseline": round(cpu_total / tpu_total, 3),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": f"poisson_islands_geneo_ras_{gridsize}x{gridsize}_"
+                  f"{parts * parts}sub_setup_solve",
+        "value": round(tpu_total, 4),
+        "unit": "s",
+        "vs_baseline": round(cpu_total / tpu_total, 3),
+    }))
 
 
 if __name__ == "__main__":

@@ -177,5 +177,6 @@ def geneo_coarse_space(
     else:
         A_neu, B = neumann_matrices(p)
     C = scale_matrix_with_pou(B, pou)
-    lam, V, active = solve_gevp_dense(A_neu, C, params, spd=not algebraic)
+    spd = (not algebraic) and getattr(p.disc, "definite", True)
+    lam, V, active = solve_gevp_dense(A_neu, C, params, spd=spd)
     return finalize_basis(V, pou, jnp.asarray(p.topo.valid), active)

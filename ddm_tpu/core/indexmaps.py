@@ -134,12 +134,50 @@ def dof_membership_from_elems(
     return M
 
 
+def _topology_native(adj_csr, membership0, overlap, cap):
+    """Native C++ path: returns (ids, bnd, dist) lists per subdomain, or
+    None when the native library is unavailable."""
+    from .._native import load
+
+    lib = load()
+    if lib is None:
+        return None
+    import ctypes
+
+    n = adj_csr.shape[0]
+    n_sub = membership0.shape[0]
+    indptr = np.ascontiguousarray(adj_csr.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(adj_csr.indices, dtype=np.int32)
+    m0 = membership0.tocsr()
+    seed_off = np.ascontiguousarray(m0.indptr, dtype=np.int64)
+    seed_ids = np.ascontiguousarray(m0.indices, dtype=np.int32)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    total = lib.ddm_topology_compute(
+        ptr(indptr), ptr(indices), n, ptr(seed_off), ptr(seed_ids), n_sub,
+        overlap, cap, 0,
+    )
+    offsets = np.empty(n_sub + 1, dtype=np.int64)
+    ids = np.empty(total, dtype=np.int32)
+    bnd = np.empty(total, dtype=np.uint8)
+    dist = np.empty(total, dtype=np.int32)
+    lib.ddm_topology_collect(ptr(offsets), ptr(ids), ptr(bnd), ptr(dist))
+    out = []
+    for k in range(n_sub):
+        s, e = offsets[k], offsets[k + 1]
+        out.append((ids[s:e], bnd[s:e].astype(bool), dist[s:e]))
+    return out
+
+
 def build_topology(
     adj: sps.spmatrix,
     membership0: sps.csr_matrix,
     dof_owner: np.ndarray,
     overlap: int,
     pad_to: int = 8,
+    use_native: bool | None = None,
 ) -> DDMTopology:
     """Build the overlapping-subdomain topology.
 
@@ -148,9 +186,23 @@ def build_topology(
     dof_owner: (n,) owning subdomain of each dof (lowest-subdomain-wins).
     overlap: number of matrix-graph extension rounds
              (reference: overlap_extension.hh round loop).
+    use_native: force/forbid the C++ kernel (_native/ddmcore.cpp); default
+    auto (native when available, identical results either way).
     """
     n = adj.shape[0]
     n_sub = membership0.shape[0]
+
+    if use_native is not False:
+        Acsr = sps.csr_matrix(adj, copy=True)
+        Acsr.data[:] = 1
+        Acsr = ((Acsr + Acsr.T) > 0).astype(np.int8).tocsr()
+        cap = 4 * overlap + 2
+        native = _topology_native(Acsr, membership0, overlap, cap)
+        if native is not None:
+            return _pack_topology(native, dof_owner, n, n_sub, overlap, cap,
+                                  pad_to)
+        if use_native:
+            raise RuntimeError("native ddmcore requested but unavailable")
     A = sps.csr_matrix(adj, copy=True)
     A.data[:] = 1
     A = ((A + A.T + sps.eye(n, format="csr")) > 0).astype(np.int8)
@@ -170,7 +222,6 @@ def build_topology(
     # boundary distance within each subdomain (cap mirrors the reference's
     # 4*overlap relaxation rounds, pou.hh:106)
     cap = 4 * overlap + 2
-    dist = {}
     visited = B.copy().astype(bool).tocsr()
     frontier = visited.copy()
     dist_mat = sps.csr_matrix((n_sub, n), dtype=np.int32)
@@ -183,13 +234,28 @@ def build_topology(
         dist_mat = dist_mat + new.astype(np.int32) * r
         visited = ((visited + new) > 0).tocsr()
         frontier = new
-    # unvisited members (deep interior) -> cap
-    deep = (Mbool.astype(np.int8) - visited.astype(np.int8)) > 0
-    dist_mat = dist_mat + sps.csr_matrix(deep).astype(np.int32) * cap
 
-    # pack to padded arrays
     Mcsr = Mbool.tocsr()
-    sizes = np.diff(Mcsr.indptr)
+    Bcsr = B.tocsr()
+    Dcsr = dist_mat.tocsr()
+    per_sub = []
+    for k in range(n_sub):
+        ids = np.sort(Mcsr.indices[Mcsr.indptr[k] : Mcsr.indptr[k + 1]])
+        brow = np.zeros(n, dtype=bool)
+        brow[Bcsr.indices[Bcsr.indptr[k] : Bcsr.indptr[k + 1]]] = True
+        drow = np.full(n, cap, dtype=np.int32)
+        drow[Dcsr.indices[Dcsr.indptr[k] : Dcsr.indptr[k + 1]]] = Dcsr.data[
+            Dcsr.indptr[k] : Dcsr.indptr[k + 1]
+        ]
+        d = drow[ids]
+        d[brow[ids]] = 0
+        per_sub.append((ids, brow[ids], d))
+    return _pack_topology(per_sub, dof_owner, n, n_sub, overlap, cap, pad_to)
+
+
+def _pack_topology(per_sub, dof_owner, n, n_sub, overlap, cap, pad_to):
+    """Pack per-subdomain (ids, boundary, dist) into padded arrays."""
+    sizes = np.array([len(ids) for ids, _, _ in per_sub])
     n_pad = int(-(-sizes.max() // pad_to) * pad_to)
     sub2glob = np.full((n_sub, n_pad), n, dtype=np.int32)
     valid = np.zeros((n_sub, n_pad), dtype=bool)
@@ -197,28 +263,22 @@ def build_topology(
     boundary = np.zeros((n_sub, n_pad), dtype=bool)
     bdist = np.full((n_sub, n_pad), cap, dtype=np.int32)
     glob2loc = np.full((n_sub, n + 1), -1, dtype=np.int32)
-
-    Bcsr = B.tocsr()
-    Dcsr = dist_mat.tocsr()
-    for k in range(n_sub):
-        ids = Mcsr.indices[Mcsr.indptr[k] : Mcsr.indptr[k + 1]]
-        ids = np.sort(ids)
+    mrows, mcols = [], []
+    for k, (ids, bnd, d) in enumerate(per_sub):
         sz = ids.size
         sub2glob[k, :sz] = ids
         valid[k, :sz] = True
         owner[k, :sz] = dof_owner[ids] == k
         glob2loc[k, ids] = np.arange(sz, dtype=np.int32)
-        brow = np.zeros(n, dtype=bool)
-        brow[Bcsr.indices[Bcsr.indptr[k] : Bcsr.indptr[k + 1]]] = True
-        boundary[k, :sz] = brow[ids]
-        drow = np.zeros(n, dtype=np.int32)
-        drow[Dcsr.indices[Dcsr.indptr[k] : Dcsr.indptr[k + 1]]] = Dcsr.data[
-            Dcsr.indptr[k] : Dcsr.indptr[k + 1]
-        ]
-        d = drow[ids]
-        d[brow[ids]] = 0
-        bdist[k, :sz] = d
-
+        boundary[k, :sz] = bnd
+        bdist[k, :sz] = np.minimum(d, cap)
+        mrows.append(np.full(sz, k))
+        mcols.append(ids)
+    membership = sps.csr_matrix(
+        (np.ones(int(sizes.sum()), dtype=bool),
+         (np.concatenate(mrows), np.concatenate(mcols))),
+        shape=(n_sub, n),
+    )
     return DDMTopology(
         n_glob=n,
         n_sub=n_sub,
@@ -232,7 +292,7 @@ def build_topology(
         bdist_cap=cap,
         dof_owner=dof_owner,
         glob2loc=glob2loc,
-        membership=Mcsr,
+        membership=membership,
         sizes=sizes,
     )
 

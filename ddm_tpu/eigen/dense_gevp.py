@@ -57,6 +57,15 @@ def solve_gevp_dense(
     n_sub, p, _ = A.shape
     m = min(params.max_kept, p)
 
+    prec = params.precision
+    if prec == "auto":
+        prec = "f64" if jax.default_backend() == "cpu" else "f32"
+    out_dtype = A.dtype
+    if prec == "f32" and A.dtype == jnp.float64:
+        A = A.astype(jnp.float32)
+        C = C.astype(jnp.float32)
+        reg = max(reg, 1e-6)
+
     # regularization scaled by the mean diagonal
     scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=1, axis2=2)), axis=1)
     eps = reg * jnp.maximum(scale, 1.0)
@@ -80,10 +89,12 @@ def solve_gevp_dense(
     # top-m mu == smallest-m lambda; reorder so lambda ascends
     mu_sel = mu[:, -m:][:, ::-1]  # (n_sub, m), descending mu
     W_sel = Wt[:, :, -m:][:, :, ::-1]  # (n_sub, p, m)
-    mu_floor = 1e-300
+    mu_floor = 1e-300 if mu.dtype == jnp.float64 else 1e-30
     lam = 1.0 / jnp.maximum(mu_sel, mu_floor)
     # v = L^{-T} w, as rows
     V = jnp.einsum("sqp,sqk->skp", Linv, W_sel)  # (n_sub, m, p)
+    lam = lam.astype(out_dtype)
+    V = V.astype(out_dtype)
 
     if params.threshold > 0:
         keep = lam < params.threshold

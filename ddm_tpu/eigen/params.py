@@ -25,6 +25,10 @@ class EigensolverParams:
     tolerance: float = 1e-5
     shift: float = 1e-3
     threshold: float = -0.5
+    # "f64", "f32", or "auto": f32 on TPU (the f64-emulated eigh is ~100x
+    # slower there), f64 on CPU.  Coarse-space quality only needs the
+    # eigenvectors to *span* a good subspace; f32 is ample for that.
+    precision: str = "auto"
 
     @staticmethod
     def from_ptree(sub: ParamTree) -> "EigensolverParams":
@@ -38,6 +42,7 @@ class EigensolverParams:
         p.tolerance = sub.get("tolerance", p.tolerance)
         p.shift = sub.get("shift", p.shift)
         p.threshold = sub.get("threshold", p.threshold)
+        p.precision = sub.get("precision", p.precision)
         if p.threshold > 0:
             p.nev_max = max(p.nev_max, p.nev)
         return p

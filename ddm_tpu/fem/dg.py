@@ -83,6 +83,9 @@ class DGDiscretization:
     problem: Problem
     sigma: float = 4.0  # penalty parameter (config key dg.alpha-like)
     n_comp: int = 1  # interface parity with Discretization (always 1)
+    #: subdomain SIPG Neumann sums lose cross-boundary penalty coupling and
+    #: can be slightly indefinite -> eigensolves use the indefinite-safe path
+    definite: bool = False
 
     def __post_init__(self):
         if self.grid.shape is None or len(self.grid.shape) != 2:

@@ -39,6 +39,9 @@ class Discretization:
     grid: Grid
     problem: Problem | ElasticityProblem
     n_comp: int = 1
+    #: subdomain Neumann matrices are SPSD (CG elements are elementwise PSD);
+    #: DG overrides this — partial SIPG face sums can be slightly indefinite
+    definite: bool = True
 
     def __post_init__(self):
         self.quad = ElementQuadrature(self.grid.elem_type)
