@@ -82,6 +82,9 @@ def build_schwarz(
             "subdomain_solver using the key 'type'"
         )
     solver_type = solver_sub.get("type")
+    store_dtype = None
+    if solver_sub.get("precision", "f64") == "f32":
+        store_dtype = jnp.float32
 
     local_cols = extraction_map(topo, np.asarray(ell.cols))
     A_sub = extract_subdomain_dense(
@@ -90,7 +93,7 @@ def build_schwarz(
         jnp.asarray(topo.valid),
         jnp.asarray(local_cols),
     )
-    factors = factor_batched(A_sub, solver_type)
+    factors = factor_batched(A_sub, solver_type, store_dtype=store_dtype)
 
     if type_string == "restricted":
         if pou is None:

@@ -103,12 +103,15 @@ class BatchedInverse:
     counts; the Krylov solver controls the true residual).
     """
 
-    inv: jnp.ndarray  # (n_sub, p, p)
+    inv: jnp.ndarray  # (n_sub, p, p); may be stored in f32 (see store_dtype)
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        bc = b.astype(self.inv.dtype)
         if b.ndim == 2:
-            return jnp.einsum("spq,sq->sp", self.inv, b)
-        return jnp.einsum("spq,sqk->spk", self.inv, b)
+            out = jnp.einsum("spq,sq->sp", self.inv, bc)
+        else:
+            out = jnp.einsum("spq,sqk->spk", self.inv, bc)
+        return out.astype(b.dtype)
 
 
 _LU_NAMES = {"lu", "umfpack", "superlu", "strumpack"}
@@ -153,13 +156,17 @@ def factor_batched(
     solver_type: str = "lu",
     mode: str = "auto",
     refine_steps: int | None = None,
+    store_dtype=None,
 ):
     """Factor a batch of dense subdomain matrices (n_sub, p, p).
 
     mode: "factors" keeps triangular factors (CPU-friendly), "inverse" forms
     explicit inverses (TPU-friendly apply, see BatchedInverse), "auto" picks
     by backend.  refine_steps: Newton refinement steps for the inverse
-    (default: 1 on TPU, 0 on CPU).
+    (default: 1 on TPU, 0 on CPU).  store_dtype: optionally down-cast the
+    stored inverse (e.g. jnp.float32: halves HBM traffic per apply and uses
+    the fast matmul path; the preconditioner stays a fixed linear operator,
+    only its quality changes slightly — pair with Jacobi equilibration).
     """
     st = resolve_solver_type(solver_type)
     on_cpu = jax.default_backend() == "cpu"
@@ -176,6 +183,8 @@ def factor_batched(
             )
             inv = jnp.einsum("sqp,sqr->spr", linv, linv)  # L^{-T} L^{-1}
             inv = _newton_refine(A, inv, refine_steps)
+            if store_dtype is not None:
+                inv = inv.astype(store_dtype)
             return BatchedInverse(inv=inv)
         return BatchedCholesky(chol=chol)
     if st == "qr":
@@ -187,6 +196,8 @@ def factor_batched(
             )
             inv = jnp.einsum("spq,srq->spr", rinv, q)  # R^{-1} Q^T
             inv = _newton_refine(A, inv, refine_steps)
+            if store_dtype is not None:
+                inv = inv.astype(store_dtype)
             return BatchedInverse(inv=inv)
         return BatchedQR(q=q, r=r)
     lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(A)
