@@ -178,5 +178,10 @@ def geneo_coarse_space(
         A_neu, B = neumann_matrices(p)
     C = scale_matrix_with_pou(B, pou)
     spd = (not algebraic) and getattr(p.disc, "definite", True)
-    lam, V, active = solve_gevp_dense(A_neu, C, params, spd=spd)
+    import jax
+
+    from ..solvers.direct import chunked_batch
+
+    jfn = jax.jit(lambda A_, C_: solve_gevp_dense(A_, C_, params, spd=spd))
+    lam, V, active = chunked_batch(jfn, A_neu, C)
     return finalize_basis(V, pou, jnp.asarray(p.topo.valid), active)

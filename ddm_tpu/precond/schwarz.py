@@ -29,7 +29,7 @@ import numpy as np
 from ..config import ParamTree
 from ..core.indexmaps import DDMTopology, extraction_map
 from ..core.sparse import SparseELL
-from ..solvers.direct import factor_batched
+from ..solvers.direct import chunked_batch, factor_batched
 from .extract import extract_subdomain_dense, gather_subdomain, scatter_add_subdomain
 
 
@@ -93,7 +93,10 @@ def build_schwarz(
         jnp.asarray(topo.valid),
         jnp.asarray(local_cols),
     )
-    factors = factor_batched(A_sub, solver_type, store_dtype=store_dtype)
+    jfn = jax.jit(
+        lambda a: factor_batched(a, solver_type, store_dtype=store_dtype)
+    )
+    factors = chunked_batch(jfn, A_sub)
 
     if type_string == "restricted":
         if pou is None:

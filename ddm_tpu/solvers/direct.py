@@ -114,6 +114,48 @@ class BatchedInverse:
         return out.astype(b.dtype)
 
 
+def batch_chunk_size(p: int, dtype_bytes: int = 8, live_buffers: int = 20,
+                     budget_bytes: int | None = None) -> int:
+    """How many (p, p) subdomain blocks fit comfortably through a dense
+    factorization pipeline at once.  The setup ops (extract -> cholesky ->
+    triangular inverse -> Newton refine, or the GEVP transform + eigh) hold
+    O(live_buffers) batch-sized temporaries; chunking the subdomain batch
+    bounds peak HBM while keeping each chunk large enough to saturate the
+    MXU.  Override with env DDM_TPU_BATCH_CHUNK."""
+    import os
+
+    env = os.environ.get("DDM_TPU_BATCH_CHUNK")
+    if env:
+        return max(1, int(env))
+    if budget_bytes is None:
+        budget_bytes = 6 << 30
+    per = p * p * dtype_bytes * live_buffers
+    return max(1, budget_bytes // max(per, 1))
+
+
+def chunked_batch(fn, *arrays, chunk: int | None = None):
+    """Apply a batched op over subdomain chunks, concatenating results.
+
+    All ``arrays`` are split along axis 0.  fn should be jitted by the
+    caller; identical chunk shapes reuse one compilation (remainders compile
+    a second shape)."""
+    A = arrays[0]
+    n = A.shape[0]
+    if chunk is None:
+        chunk = batch_chunk_size(A.shape[-1], A.dtype.itemsize)
+    if chunk >= n:
+        return fn(*arrays)
+    outs = []
+    i = 0
+    while i < n:
+        j = min(i + chunk, n)
+        outs.append(fn(*(a[i:j] for a in arrays)))
+        i += chunk
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.concatenate(xs, axis=0), *outs
+    )
+
+
 _LU_NAMES = {"lu", "umfpack", "superlu", "strumpack"}
 _CHOL_NAMES = {"cholesky", "cholmod"}
 _QR_NAMES = {"qr"}
