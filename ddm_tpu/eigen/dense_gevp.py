@@ -61,10 +61,7 @@ def solve_gevp_dense(
     if prec == "auto":
         prec = "f64" if jax.default_backend() == "cpu" else "f32"
     out_dtype = A.dtype
-    if prec == "f32" and A.dtype == jnp.float64:
-        A = A.astype(jnp.float32)
-        C = C.astype(jnp.float32)
-        reg = max(reg, 1e-6)
+    downcast = prec == "f32" and A.dtype == jnp.float64
 
     # regularization scaled by the mean diagonal
     scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=1, axis2=2)), axis=1)
@@ -84,12 +81,37 @@ def solve_gevp_dense(
         Linv = Q.transpose(0, 2, 1) / jnp.sqrt(d)[:, :, None]
     S = jnp.einsum("spq,sqr,str->spt", Linv, C, Linv)
     S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
-    mu, Wt = jnp.linalg.eigh(S)  # ascending mu; columns are eigenvectors
+    # the big p x p eigendecomposition runs in f32 on TPU (f64 eigh is
+    # ~100x slower there); everything around it stays f64 and the subspace
+    # is refined back to f64 quality below
+    mu, Wt = jnp.linalg.eigh(S.astype(jnp.float32) if downcast else S)
 
     # top-m mu == smallest-m lambda; reorder so lambda ascends
-    mu_sel = mu[:, -m:][:, ::-1]  # (n_sub, m), descending mu
-    W_sel = Wt[:, :, -m:][:, :, ::-1]  # (n_sub, p, m)
-    mu_floor = 1e-300 if mu.dtype == jnp.float64 else 1e-30
+    mu_sel = mu[:, -m:][:, ::-1].astype(out_dtype)  # (n_sub, m)
+    W_sel = Wt[:, :, -m:][:, :, ::-1].astype(out_dtype)  # (n_sub, p, m)
+
+    if downcast:
+        # f64 subspace refinement: block inverse-free subspace iteration on
+        # S (applied as Linv C Linv^T — three nev-wide matmuls) + small-block
+        # Rayleigh-Ritz.  Restores the small-eigenvalue structure f32 eigh
+        # loses on high-contrast pencils (without it, GenEO degrades badly
+        # at scale: 16 -> >200 iterations on islands 384^2/256 subdomains).
+        def s_mul(W):
+            t = jnp.einsum("sqp,sqk->spk", Linv, W)  # Linv^T W
+            t = jnp.einsum("spq,sqk->spk", C, t)
+            return jnp.einsum("spq,sqk->spk", Linv, t)
+
+        W = W_sel
+        for _ in range(2):
+            W = s_mul(W)
+            W, _ = jnp.linalg.qr(W)
+        T = jnp.einsum("spk,spl->skl", W, s_mul(W))
+        T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
+        mu_r, Z = jnp.linalg.eigh(T)  # (n_sub, m) ascending — tiny, f64
+        mu_sel = mu_r[:, ::-1]
+        W_sel = jnp.einsum("spk,skl->spl", W, Z[:, :, ::-1])
+
+    mu_floor = 1e-300 if mu_sel.dtype == jnp.float64 else 1e-30
     lam = 1.0 / jnp.maximum(mu_sel, mu_floor)
     # v = L^{-T} w, as rows
     V = jnp.einsum("sqp,sqk->skp", Linv, W_sel)  # (n_sub, m, p)

@@ -82,21 +82,31 @@ def build_schwarz(
             "subdomain_solver using the key 'type'"
         )
     solver_type = solver_sub.get("type")
-    store_dtype = None
-    if solver_sub.get("precision", "f64") == "f32":
-        store_dtype = jnp.float32
+    precision = solver_sub.get("precision", "f64")
 
     local_cols = extraction_map(topo, np.asarray(ell.cols))
-    A_sub = extract_subdomain_dense(
-        ell,
-        jnp.asarray(topo.sub2glob),
-        jnp.asarray(topo.valid),
-        jnp.asarray(local_cols),
-    )
-    jfn = jax.jit(
-        lambda a: factor_batched(a, solver_type, store_dtype=store_dtype)
-    )
+    local_cols_j = jnp.asarray(local_cols)
+    sub2glob_j = jnp.asarray(topo.sub2glob)
+    valid_j = jnp.asarray(topo.valid)
+    A_sub = extract_subdomain_dense(ell, sub2glob_j, valid_j, local_cols_j)
+    jfn = jax.jit(lambda a: factor_batched(a, solver_type))
     factors = chunked_batch(jfn, A_sub)
+    if precision == "f32":
+        # f32 fast apply + exact-sparse f64 defect correction
+        # (solvers/direct.py:SparseRefinedInverse)
+        from ..solvers.direct import BatchedInverse, SparseRefinedInverse
+
+        if not isinstance(factors, BatchedInverse):
+            raise ValueError("precision=f32 requires the inverse mode (TPU)")
+        rows = jnp.minimum(sub2glob_j, ell.n - 1)
+        sub_vals = ell.vals[rows] * valid_j[:, :, None]
+        sub_vals = jnp.where(local_cols_j >= topo.n_pad, 0.0, sub_vals)
+        factors = SparseRefinedInverse(
+            inv32=factors.inv.astype(jnp.float32),
+            sub_vals=sub_vals,
+            sub_cols=local_cols_j,
+            steps=int(solver_sub.get("refine_steps", 2)),
+        )
 
     if type_string == "restricted":
         if pou is None:

@@ -21,7 +21,7 @@ names ``lu`` and ``cholesky``.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +112,59 @@ class BatchedInverse:
         else:
             out = jnp.einsum("spq,sqk->spk", self.inv, bc)
         return out.astype(b.dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SparseRefinedInverse:
+    """f32 explicit inverse + f64 iterative refinement with *sparse*
+    subdomain residuals.
+
+    The fast path stores the subdomain inverse in f32 (half the HBM traffic,
+    native-f32 matmul instead of multi-pass f64 emulation), which alone is a
+    poor preconditioner when cond(A_sub) approaches 1/eps_f32 (high-contrast
+    subdomains).  Each apply therefore runs `steps` rounds of defect
+    correction
+
+        x <- x + X32 (b - A_sub x)
+
+    where A_sub x is computed EXACTLY in f64 from the subdomain's sparse
+    rows (vals/cols gathered once from the global ELL matrix at setup —
+    O(nnz) instead of O(p^2)).  This is the TPU incarnation of the
+    reference's blockwise backward-error iterative refinement
+    (dune/ddm/eigensolvers/umfpack.hh:42-129).
+    """
+
+    inv32: jnp.ndarray  # (n_sub, p, p) float32
+    sub_vals: jnp.ndarray  # (n_sub, p, m) float64 — A_dir rows, sparse
+    sub_cols: jnp.ndarray  # (n_sub, p, m) int32 local cols, dummy == p
+    steps: int = field(default=2, metadata=dict(static=True))
+
+    def _amul(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Exact f64 A_sub @ x via the sparse rows; x: (n_sub, p)."""
+        n_sub, p = x.shape
+        pad = jnp.concatenate([x, jnp.zeros((n_sub, 1), x.dtype)], axis=1)
+        xs = jnp.take_along_axis(
+            pad, self.sub_cols.reshape(n_sub, -1), axis=1
+        ).reshape(self.sub_cols.shape)
+        return (self.sub_vals * xs).sum(axis=2)
+
+    def _fast(self, b: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum(
+            "spq,sq->sp", self.inv32, b.astype(jnp.float32)
+        ).astype(b.dtype)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        squeeze = b.ndim == 3
+        if squeeze:  # multi-RHS: refine each column
+            return jnp.stack(
+                [self.solve(b[..., k]) for k in range(b.shape[-1])], axis=-1
+            )
+        x = self._fast(b)
+        for _ in range(self.steps):
+            r = b - self._amul(x)
+            x = x + self._fast(r)
+        return x
 
 
 def batch_chunk_size(p: int, dtype_bytes: int = 8, live_buffers: int = 20,

@@ -260,6 +260,124 @@ def gmres_solve(
     )
 
 
+@partial(jax.jit, static_argnames=("maxit", "restart"))
+def fgmres_solve(
+    op: Callable,
+    prec: Callable | None,
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    reduction: float = 1e-8,
+    maxit: int = 1000,
+    restart: int = 30,
+) -> KrylovResult:
+    """Flexible (right-preconditioned) restarted GMRES — ISTL's
+    RestartedFlexibleGMResSolver.  The recurrence tracks the TRUE residual
+    and the preconditioner enters only through the solution basis Z, so
+    reduced-precision / inexact preconditioner applies (e.g. the f32 fast
+    apply path) do not cap the attainable accuracy the way they do for the
+    left-preconditioned variant."""
+    if prec is None:
+        prec = identity_prec()
+    n = b.shape[0]
+    dtype = b.dtype
+
+    r0 = b - op(x0)
+    def0 = _norm(r0)
+    target = jnp.maximum(reduction * def0, _ABS_LIMIT)
+    hist0 = jnp.full((maxit + 1,), jnp.nan, dtype).at[0].set(def0)
+
+    def cycle(x, total_it, hist):
+        w = b - op(x)
+        beta = _norm(w)
+        V = jnp.zeros((restart + 1, n), dtype).at[0].set(
+            w / jnp.maximum(beta, _ABS_LIMIT)
+        )
+        Z = jnp.zeros((restart, n), dtype)
+        H = jnp.zeros((restart + 1, restart), dtype)
+        cs = jnp.zeros((restart,), dtype)
+        sn = jnp.zeros((restart,), dtype)
+        s = jnp.zeros((restart + 1,), dtype).at[0].set(beta)
+
+        def step(j, carry):
+            V, Z, H, cs, sn, s, defect, it, hist, done = carry
+
+            def do(carry):
+                V, Z, H, cs, sn, s, defect, it, hist, done = carry
+                z = prec(V[j])
+                Z2 = Z.at[j].set(z)
+                w = op(z)
+                mask = (
+                    jax.lax.broadcasted_iota(jnp.int32, (restart + 1, 1), 0)
+                    <= j
+                ).astype(dtype)
+                c1 = (V @ w)[:, None] * mask
+                w = w - (c1[:, 0] @ V)
+                c2 = (V @ w)[:, None] * mask
+                w = w - (c2[:, 0] @ V)
+                hcol = (c1 + c2)[:, 0]
+                hjp = _norm(w)
+                hcol = hcol.at[j + 1].set(hjp)
+                V2 = V.at[j + 1].set(w / jnp.maximum(hjp, _ABS_LIMIT))
+
+                def rot(i, h):
+                    t = cs[i] * h[i] + sn[i] * h[i + 1]
+                    h = h.at[i + 1].set(-sn[i] * h[i] + cs[i] * h[i + 1])
+                    return h.at[i].set(t)
+
+                hcol = jax.lax.fori_loop(0, j, rot, hcol)
+                denom = jnp.sqrt(hcol[j] ** 2 + hcol[j + 1] ** 2)
+                c = hcol[j] / jnp.maximum(denom, _ABS_LIMIT)
+                sj = hcol[j + 1] / jnp.maximum(denom, _ABS_LIMIT)
+                hcol = hcol.at[j].set(denom).at[j + 1].set(0.0)
+                s_new = s.at[j + 1].set(-sj * s[j]).at[j].set(c * s[j])
+                defect = jnp.abs(s_new[j + 1])
+                it = it + 1
+                hist = hist.at[jnp.minimum(it, maxit)].set(defect)
+                done = (defect <= target) | (it >= maxit)
+                return (V2, Z2, H.at[:, j].set(hcol), cs.at[j].set(c),
+                        sn.at[j].set(sj), s_new, defect, it, hist, done)
+
+            return jax.lax.cond(done, lambda c: c, do, carry)
+
+        init = (V, Z, H, cs, sn, s, beta, total_it, hist, (beta <= target))
+        V, Z, H, cs, sn, s, defect, it, hist, done = jax.lax.fori_loop(
+            0, restart, step, init
+        )
+        k = it - total_it
+        y = jnp.zeros((restart,), dtype)
+
+        def back(i, y):
+            jj = k - 1 - i
+
+            def do(y):
+                num = s[jj] - H[jj] @ y
+                return y.at[jj].set(
+                    num / jnp.where(H[jj, jj] == 0, 1.0, H[jj, jj])
+                )
+
+            return jax.lax.cond(jj >= 0, do, lambda y: y, y)
+
+        y = jax.lax.fori_loop(0, restart, back, y)
+        x = x + Z.T @ y
+        return x, it, hist, defect
+
+    def cond(state):
+        x, it, hist, defect = state
+        return (defect > target) & (it < maxit)
+
+    def body(state):
+        x, it, hist, _ = state
+        return cycle(x, it, hist)
+
+    x, it, hist, defect = jax.lax.while_loop(
+        cond, body, (x0, jnp.int32(0), hist0, def0)
+    )
+    return KrylovResult(
+        x=x, iterations=it, converged=defect <= target, defect0=def0,
+        defect=defect, history=hist,
+    )
+
+
 @partial(jax.jit, static_argnames=("maxit",))
 def bicgstab_solve(
     op: Callable,
@@ -331,6 +449,8 @@ SOLVERS = {
     "cg": cg_solve,
     "restartedgmressolver": gmres_solve,
     "gmres": gmres_solve,
+    "restartedflexiblegmressolver": fgmres_solve,
+    "fgmres": fgmres_solve,
     "bicgstabsolver": bicgstab_solve,
     "bicgstab": bicgstab_solve,
 }
@@ -343,7 +463,8 @@ def solve_from_config(op, prec, b, x0, ptree, subtree_name: str = "solver"):
     reduction = sub.get("reduction", 1e-8)
     maxit = sub.get("maxit", 1000)
     kwargs = {}
-    if stype in ("restartedgmressolver", "gmres"):
+    if stype in ("restartedgmressolver", "gmres",
+                 "restartedflexiblegmressolver", "fgmres"):
         kwargs["restart"] = sub.get("restart", 30)
     fn = SOLVERS[stype]
     return fn(op, prec, b, x0, reduction=reduction, maxit=maxit, **kwargs)
