@@ -48,14 +48,17 @@ def neumann_matrices(p, region_b: str = "overlap"):
     equilibrated) variables as ``p.A``: congruence scaling leaves the GEVP
     eigenvalues unchanged and maps eigenvectors consistently.
     """
+    from ..obs.logger import scoped as _scoped
+
     disc, topo = p.disc, p.topo
-    groups = disc.neumann_stamps()
-    A_neu = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
-    for dofs, K in groups:
-        sub_e, sub_l = subdomain_stamp_lists(dofs, topo)
-        A_neu = A_neu + neumann_dense(
-            K, jnp.asarray(sub_e), jnp.asarray(sub_l), topo.n_pad
-        )
+    with _scoped("Eigensolver", "assemble Neumann"):
+        groups = disc.neumann_stamps()
+        A_neu = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
+        for dofs, K in groups:
+            sub_e, sub_l = subdomain_stamp_lists(dofs, topo)
+            A_neu = A_neu + neumann_dense(
+                K, jnp.asarray(sub_e), jnp.asarray(sub_l), topo.n_pad
+            )
     if region_b == "all":
         B_neu = A_neu
     else:
@@ -180,8 +183,11 @@ def geneo_coarse_space(
     spd = (not algebraic) and getattr(p.disc, "definite", True)
     import jax
 
+    from ..obs.logger import scoped
     from ..solvers.direct import chunked_batch
 
-    jfn = jax.jit(lambda A_, C_: solve_gevp_dense(A_, C_, params, spd=spd))
-    lam, V, active = chunked_batch(jfn, A_neu, C)
+    with scoped("Eigensolver", "solve GEVP"):
+        jfn = jax.jit(lambda A_, C_: solve_gevp_dense(A_, C_, params, spd=spd))
+        lam, V, active = chunked_batch(jfn, A_neu, C)
+        jax.block_until_ready(V)
     return finalize_basis(V, pou, jnp.asarray(p.topo.valid), active)

@@ -79,12 +79,17 @@ def solve_gevp_dense(
         # A^{-1/2} = diag(d^{-1/2}) Q^T  (any square root works for the
         # congruence transform)
         Linv = Q.transpose(0, 2, 1) / jnp.sqrt(d)[:, :, None]
-    S = jnp.einsum("spq,sqr,str->spt", Linv, C, Linv)
+    # the big p x p work — forming S and its eigendecomposition — runs in
+    # f32 on TPU (f64 emulated matmuls/eigh are 10-100x slower); the
+    # Cholesky/Linv stay f64 and the selected subspace is refined back to
+    # f64 quality below with cheap nev-wide f64 ops
+    if downcast:
+        L32, C32 = Linv.astype(jnp.float32), C.astype(jnp.float32)
+        S = jnp.einsum("spq,sqr,str->spt", L32, C32, L32)
+    else:
+        S = jnp.einsum("spq,sqr,str->spt", Linv, C, Linv)
     S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
-    # the big p x p eigendecomposition runs in f32 on TPU (f64 eigh is
-    # ~100x slower there); everything around it stays f64 and the subspace
-    # is refined back to f64 quality below
-    mu, Wt = jnp.linalg.eigh(S.astype(jnp.float32) if downcast else S)
+    mu, Wt = jnp.linalg.eigh(S)
 
     # top-m mu == smallest-m lambda; reorder so lambda ascends
     mu_sel = mu[:, -m:][:, ::-1].astype(out_dtype)  # (n_sub, m)

@@ -43,30 +43,56 @@ from .extract import gather_subdomain, scatter_add_subdomain
 
 
 def galerkin_coarse_matrix(
-    ell: SparseELL, sub2glob: jnp.ndarray, basis: CoarseBasis
+    ell: SparseELL, sub2glob: jnp.ndarray, basis: CoarseBasis,
+    group: int = 1,
 ) -> jnp.ndarray:
     """True Galerkin E[(i,k),(j,l)] = v_ik^T A v_jl, (n_c, n_c) dense.
 
-    Scans over subdomains j: scatter V[j] to global, one multi-RHS SpMV,
-    gather to all subdomains, batched dots.  Memory high-water:
-    O(n * nev_max)."""
+    Scans over *groups* of subdomains j: scatter the group's bases into a
+    global multi-RHS block, one SpMV, gather to all subdomains, batched
+    dots.  Grouping amortizes the per-step scatter/gather latency (a
+    256-step scalar scan was ~40 ms/step on TPU; 16-wide groups cut the
+    step count 16x at the same FLOPs).  Memory high-water:
+    O(n * nev_max * group)."""
     n = ell.n
     n_sub, nev, n_pad = basis.V.shape
     V = basis.V
+    group = max(1, min(group, n_sub))
+    while n_sub % group:
+        group -= 1
+    n_groups = n_sub // group
 
-    def body(_, j):
-        U = scatter_add_subdomain(
-            V[j].T[None], sub2glob[j][None], n
-        )  # (n, nev)
-        W = ell.mv(U)  # (n, nev)
-        W_sub = gather_subdomain(W, sub2glob)  # (n_sub, n_pad, nev)
-        blk = jnp.einsum("skp,spl->skl", V, W_sub)  # rows (i,k), cols (j,*)
-        return None, blk
-
-    _, blocks = jax.lax.scan(body, None, jnp.arange(n_sub))
-    # blocks: (j, i, k, l) -> E[(i,k),(j,l)]
+    blocks = [
+        _galerkin_group_block(
+            ell, V, sub2glob,
+            V[g * group : (g + 1) * group],
+            sub2glob[g * group : (g + 1) * group],
+        )
+        for g in range(n_groups)
+    ]
+    blocks = jnp.stack(blocks)  # (n_groups, i, k, group*nev)
     E = blocks.transpose(1, 2, 0, 3).reshape(n_sub * nev, n_sub * nev)
     return E
+
+
+def _galerkin_group_block(ell, V, sub2glob, Vg, s2g_g):
+    """One group's coarse-matrix column block.
+
+    Scatters each group member's basis into its own global column block
+    (vmapped 1-D scatters), one multi-RHS SpMV, gather, batched dots.
+    Runs EAGERLY and is looped from Python: both lax.scan around the group
+    loop and jit of this body trip TPU compile-memory exhaustion at scale
+    (the fused scatter lowers poorly); the eager ops are individually
+    cheap."""
+    n = ell.n
+    group, nev, n_pad = Vg.shape
+    Ug = jax.vmap(
+        lambda vj, sj: scatter_add_subdomain(vj.T[None], sj[None], n)
+    )(Vg, s2g_g)  # (group, n, nev)
+    U = Ug.transpose(1, 0, 2).reshape(n, group * nev)
+    W = ell.mv(U)  # (n, group*nev)
+    W_sub = gather_subdomain(W, sub2glob)  # (n_sub, n_pad, group*nev)
+    return jnp.einsum("skp,spl->skl", V, W_sub)  # (n_sub, nev, group*nev)
 
 
 def galerkin_coarse_matrix_local(
@@ -154,17 +180,23 @@ def build_galerkin(
             "using the key 'type'"
         )
     solver_type = sub.get("type")
+    from ..obs.logger import scoped
+
     s2g = jnp.asarray(topo.sub2glob)
-    if method == "global":
-        E = galerkin_coarse_matrix(ell, s2g, basis)
-    elif method == "local":
-        if A_sub is None:
-            raise ValueError("method='local' requires the dense A_sub batch")
-        E = galerkin_coarse_matrix_local(A_sub, s2g, basis, topo.n_glob)
-    else:
-        raise ValueError(f"unknown coarse-matrix method '{method}'")
-    E = _mask_inactive(E, basis.active)
-    coarse = factor_batched(E[None], solver_type)
+    with scoped("GalerkinPrec", "build Matrix"):
+        if method == "global":
+            E = galerkin_coarse_matrix(ell, s2g, basis)
+        elif method == "local":
+            if A_sub is None:
+                raise ValueError("method='local' requires the dense A_sub batch")
+            E = galerkin_coarse_matrix_local(A_sub, s2g, basis, topo.n_glob)
+        else:
+            raise ValueError(f"unknown coarse-matrix method '{method}'")
+        E = _mask_inactive(E, basis.active)
+        E.block_until_ready()
+    with scoped("GalerkinPrec", "factor A0"):
+        coarse = factor_batched(E[None], solver_type)
+        jax.block_until_ready(jax.tree_util.tree_leaves(coarse))
     return GalerkinPreconditioner(
         sub2glob=s2g, V=basis.V, active=basis.active, coarse=coarse
     )

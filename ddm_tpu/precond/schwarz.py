@@ -84,13 +84,19 @@ def build_schwarz(
     solver_type = solver_sub.get("type")
     precision = solver_sub.get("precision", "f64")
 
+    from ..obs.logger import scoped
+
     local_cols = extraction_map(topo, np.asarray(ell.cols))
     local_cols_j = jnp.asarray(local_cols)
     sub2glob_j = jnp.asarray(topo.sub2glob)
     valid_j = jnp.asarray(topo.valid)
-    A_sub = extract_subdomain_dense(ell, sub2glob_j, valid_j, local_cols_j)
-    jfn = jax.jit(lambda a: factor_batched(a, solver_type))
-    factors = chunked_batch(jfn, A_sub)
+    with scoped("Schwarz", "extract"):
+        A_sub = extract_subdomain_dense(ell, sub2glob_j, valid_j, local_cols_j)
+        A_sub.block_until_ready()
+    with scoped("Schwarz", "factorise"):
+        jfn = jax.jit(lambda a: factor_batched(a, solver_type))
+        factors = chunked_batch(jfn, A_sub)
+        jax.block_until_ready(jax.tree_util.tree_leaves(factors))
     if precision == "f32":
         # f32 fast apply + exact-sparse f64 defect correction
         # (solvers/direct.py:SparseRefinedInverse)
