@@ -34,6 +34,22 @@ def _quad_rule(elem_type: str):
         # degree-2, 3 points, area 1/2
         pts = np.array([[1 / 6, 1 / 6], [2 / 3, 1 / 6], [1 / 6, 2 / 3]])
         w = np.full(3, 1 / 6)
+    elif elem_type == "tri2":
+        # degree-4 (Dunavant 6-point) for P2 stiffness/mass terms
+        a1, a2 = 0.445948490915965, 0.091576213509771
+        w1, w2 = 0.223381589678011, 0.109951743655322
+        pts = np.array([
+            [a1, a1], [1 - 2 * a1, a1], [a1, 1 - 2 * a1],
+            [a2, a2], [1 - 2 * a2, a2], [a2, 1 - 2 * a2],
+        ])
+        w = np.array([w1, w1, w1, w2, w2, w2]) * 0.5
+    elif elem_type == "quad2":
+        # 3x3 Gauss on [0,1]^2
+        g = np.array([0.5 - 0.5 * np.sqrt(3 / 5), 0.5, 0.5 + 0.5 * np.sqrt(3 / 5)])
+        wg = np.array([5 / 18, 8 / 18, 5 / 18])
+        X, Y = np.meshgrid(g, g, indexing="ij")
+        pts = np.stack([X.ravel(), Y.ravel()], -1)
+        w = np.outer(wg, wg).ravel()
     elif elem_type == "tet":
         a, b = 0.5854101966249685, 0.1381966011250105
         pts = np.array(
@@ -68,6 +84,45 @@ def _shape_funs(elem_type: str, pts: np.ndarray):
             ),
             (pts.shape[0], 4, 3),
         ).copy()
+    elif elem_type == "tri2":
+        # P2 triangle: vertices (v0,v1,v2) then edge midpoints (e01,e12,e20)
+        x, y = pts[:, 0], pts[:, 1]
+        L = [1 - x - y, x, y]
+        dL = [np.array([-1.0, -1.0]), np.array([1.0, 0.0]), np.array([0.0, 1.0])]
+        q = pts.shape[0]
+        phi = np.zeros((q, 6))
+        dphi = np.zeros((q, 6, 2))
+        for i in range(3):
+            phi[:, i] = L[i] * (2 * L[i] - 1)
+            dphi[:, i] = (4 * L[i] - 1)[:, None] * dL[i][None, :]
+        edges = [(0, 1), (1, 2), (2, 0)]
+        for k, (a, b) in enumerate(edges):
+            phi[:, 3 + k] = 4 * L[a] * L[b]
+            dphi[:, 3 + k] = 4 * (
+                L[a][:, None] * dL[b][None, :] + L[b][:, None] * dL[a][None, :]
+            )
+    elif elem_type == "quad2":
+        # Q2, tensor-product lexicographic: 9 nodes at t in {0, 1/2, 1},
+        # x fastest
+        def n1d(t):
+            return np.stack(
+                [(2 * t - 1) * (t - 1), 4 * t * (1 - t), t * (2 * t - 1)], -1
+            )
+
+        def dn1d(t):
+            return np.stack([4 * t - 3, 4 - 8 * t, 4 * t - 1], -1)
+
+        nx, ny = n1d(pts[:, 0]), n1d(pts[:, 1])
+        dx, dy = dn1d(pts[:, 0]), dn1d(pts[:, 1])
+        q = pts.shape[0]
+        phi = np.zeros((q, 9))
+        dphi = np.zeros((q, 9, 2))
+        for j in range(3):
+            for i in range(3):
+                k = j * 3 + i
+                phi[:, k] = nx[:, i] * ny[:, j]
+                dphi[:, k, 0] = dx[:, i] * ny[:, j]
+                dphi[:, k, 1] = nx[:, i] * dy[:, j]
     elif elem_type in ("quad", "hex"):
         d = 2 if elem_type == "quad" else 3
         nd = 2**d

@@ -39,30 +39,40 @@ class Discretization:
     grid: Grid
     problem: Problem | ElasticityProblem
     n_comp: int = 1
+    #: polynomial degree: 1 (P1/Q1 on mesh vertices) or 2 (Pk/Qk via
+    #: fem/highorder.py edge/center dofs — reference: PkLocalFiniteElementMap
+    #: degree 2, nonlinearpoisson.cc:104)
+    degree: int = 1
     #: subdomain Neumann matrices are SPSD (CG elements are elementwise PSD);
     #: DG overrides this — partial SIPG face sums can be slightly indefinite
     definite: bool = True
 
     def __post_init__(self):
-        self.quad = ElementQuadrature(self.grid.elem_type)
-        self.xe = jnp.asarray(self.grid.nodes[self.grid.elems])
-        self.n_dofs = self.grid.n_nodes * self.n_comp
-        rows, cols = element_coo_indices(self.grid.elems, self.n_comp)
-        self.pattern = EllPattern.from_coo(rows, cols, self.n_dofs)
-        if self.n_comp == 1:
-            self._dof_scatter = jnp.asarray(self.grid.elems.reshape(-1))
+        if self.degree == 1:
+            self._elem_nodes = self.grid.elems
+            self._node_coords = self.grid.nodes
+            self._node_boundary = self.grid.boundary_nodes()
+            basis = self.grid.elem_type
+        elif self.degree == 2:
+            from .highorder import p2_dofs
+
+            (self._elem_nodes, self._node_coords, self._node_boundary,
+             basis) = p2_dofs(self.grid)
         else:
-            dofs = (
-                self.grid.elems[:, :, None] * self.n_comp + np.arange(self.n_comp)
-            ).reshape(-1)
-            self._dof_scatter = jnp.asarray(dofs)
+            raise NotImplementedError(f"degree {self.degree}")
+        self.quad = ElementQuadrature(basis)
+        self.xe = jnp.asarray(self._node_coords[self._elem_nodes])
+        self.n_dofs = self._node_coords.shape[0] * self.n_comp
+        rows, cols = element_coo_indices(self._elem_nodes, self.n_comp)
+        self.pattern = EllPattern.from_coo(rows, cols, self.n_dofs)
+        self._dof_scatter = jnp.asarray(self.dof_tuples().reshape(-1))
 
     # -- masks / boundary data --------------------------------------------
     @cached_property
     def dirichlet_mask(self) -> jnp.ndarray:
-        """(n_dofs,) bool — physical-boundary nodes selected by the problem."""
-        xs = jnp.asarray(self.grid.nodes)
-        node_mask = jnp.asarray(self.grid.boundary_nodes()) & self.problem.is_dirichlet(
+        """(n_dofs,) bool — physical-boundary dofs selected by the problem."""
+        xs = jnp.asarray(self._node_coords)
+        node_mask = jnp.asarray(self._node_boundary) & self.problem.is_dirichlet(
             xs
         )
         if self.n_comp == 1:
@@ -71,7 +81,7 @@ class Discretization:
 
     @cached_property
     def dirichlet_values(self) -> jnp.ndarray:
-        xs = jnp.asarray(self.grid.nodes)
+        xs = jnp.asarray(self._node_coords)
         g = self.problem.g(xs)
         if self.n_comp == 1:
             gv = g
@@ -109,9 +119,9 @@ class Discretization:
         """(n_elems, nl) global dof ids per element — the unit of dof
         membership/ownership for the DDM topology."""
         if self.n_comp == 1:
-            return self.grid.elems
+            return self._elem_nodes
         return (
-            self.grid.elems[:, :, None] * self.n_comp + np.arange(self.n_comp)
+            self._elem_nodes[:, :, None] * self.n_comp + np.arange(self.n_comp)
         ).reshape(self.grid.n_elems, -1)
 
     def neumann_stamps(self, problem=None):
@@ -124,14 +134,7 @@ class Discretization:
         if getattr(p, "symmetric", True) is False:
             p = p.symmetrized()
         Ke, _ = self.element_matrices(p)
-        if self.n_comp == 1:
-            dofs = self.grid.elems
-        else:
-            dofs = (
-                self.grid.elems[:, :, None] * self.n_comp
-                + np.arange(self.n_comp)
-            ).reshape(self.grid.n_elems, -1)
-        return [(dofs, Ke)]
+        return [(self.dof_tuples(), Ke)]
 
     def adjacency(self) -> sps.csr_matrix:
         """Structurally-symmetric matrix-graph adjacency (pattern only)."""

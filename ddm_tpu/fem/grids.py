@@ -89,10 +89,14 @@ def structured_grid(
     cells: tuple[int, ...],
     lower: tuple[float, ...] | None = None,
     upper: tuple[float, ...] | None = None,
+    simplex: bool = False,
 ) -> Grid:
-    """Tensor-product Q1 grid on a box (YaspGrid equivalent).
+    """Tensor-product grid on a box (YaspGrid equivalent).
 
     ``cells`` gives the number of cells per axis (len 2 -> quads, 3 -> hexes).
+    ``simplex=True`` splits each 2D cell into two triangles
+    (StructuredGridFactory::createSimplexGrid equivalent, used by the
+    reference's nonlinear example).
     """
     dim = len(cells)
     lower = lower or (0.0,) * dim
@@ -141,6 +145,12 @@ def structured_grid(
         et = "hex"
     else:
         raise ValueError("structured_grid supports dim 2 and 3")
+    if simplex:
+        if dim != 2:
+            raise NotImplementedError("simplex splitting only in 2D")
+        q = elems.astype(np.int64)
+        tris = np.concatenate([q[:, [0, 1, 3]], q[:, [0, 3, 2]]], axis=0)
+        return Grid(nodes=nodes, elems=tris, elem_type="tri", shape=None)
     return Grid(nodes=nodes, elems=elems.astype(np.int64), elem_type=et, shape=cells)
 
 

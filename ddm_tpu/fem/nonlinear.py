@@ -54,10 +54,10 @@ class NonlinearProblem:
 class NonlinearDiscretization(Discretization):
     """Discretization whose assemble depends on the current iterate."""
 
-    def __init__(self, grid, problem: NonlinearProblem):
-        super().__init__(grid, problem.linearized(), n_comp=1)
+    def __init__(self, grid, problem: NonlinearProblem, degree: int = 1):
+        super().__init__(grid, problem.linearized(), n_comp=1, degree=degree)
         self.nl = problem
-        self._elems_j = jnp.asarray(self.grid.elems)
+        self._elems_j = jnp.asarray(self._elem_nodes)
 
     def residual_jacobian(self, u: jnp.ndarray):
         """(r, J) at iterate u (both honoring Dirichlet constraints:

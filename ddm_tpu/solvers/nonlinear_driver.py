@@ -56,7 +56,7 @@ class TwoLevelNewtonSolver:
         # constraints (twolevel_schwarz.hh:47-55)
         from ..coarse.pou_space import pou_coarse_space
 
-        nodes = disc.grid.nodes
+        nodes = disc._node_coords  # includes P2 edge/center dofs
         x, y = nodes[:, 0], nodes[:, 1]
         templates = [np.ones(disc.n_dofs), x, y, x * y]
         self.basis = pou_coarse_space(
