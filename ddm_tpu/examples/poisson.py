@@ -93,8 +93,14 @@ def main(argv=None):
     if ini:
         read_ini_file(ini, ptree)
         apply_cli_overrides(ptree, argv)  # CLI wins over ini
-    problem_name = ptree.get("problem", "simple")
-    problem = pm.PROBLEMS[problem_name]()
+    coeff_file = ptree.get("coefficient_file", "")
+    if coeff_file:
+        from ..fem.scripted import load_problem
+
+        problem = load_problem(coeff_file)
+    else:
+        problem_name = ptree.get("problem", "simple")
+        problem = pm.PROBLEMS[problem_name]()
     run(ptree, problem)
 
 

@@ -83,6 +83,7 @@ def build_schwarz(
         )
     solver_type = solver_sub.get("type")
     precision = solver_sub.get("precision", "f64")
+    modify = ptree.get("modify_subdomain_matrix", False)
 
     from ..obs.logger import scoped
 
@@ -92,6 +93,15 @@ def build_schwarz(
     valid_j = jnp.asarray(topo.valid)
     with scoped("Schwarz", "extract"):
         A_sub = extract_subdomain_dense(ell, sub2glob_j, valid_j, local_cols_j)
+        if modify:
+            # eliminate subdomain-boundary dofs before factorising
+            # (reference option modify_subdomain_matrix,
+            # pdelab_schwarz.hh:163-164)
+            from ..fem.subassembly import eliminate_dirichlet_dense
+
+            A_sub = eliminate_dirichlet_dense(
+                A_sub, jnp.asarray(topo.boundary) & valid_j
+            )
         A_sub.block_until_ready()
     with scoped("Schwarz", "factorise"):
         jfn = jax.jit(lambda a: factor_batched(a, solver_type))

@@ -74,6 +74,18 @@ def _norm(x):
     return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
 
 
+def masked_dot(x, y, mask):
+    """Scalar product restricted to masked dofs (reference:
+    MaskedScalarProduct, dune/ddm/helpers.hh:341-375 — used to exclude
+    constrained/ghost dofs from convergence norms)."""
+    m = mask.astype(x.dtype)
+    return jnp.vdot(x * m, y)
+
+
+def masked_norm(x, mask):
+    return jnp.sqrt(jnp.real(masked_dot(x, x, mask)))
+
+
 @partial(jax.jit, static_argnames=("maxit",))
 def cg_solve(
     op: Callable,
