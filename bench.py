@@ -12,13 +12,15 @@ value       = TPU wall-clock for the FULL preconditioner setup (subdomain
               excluded — the reference has no JIT either).
 vs_baseline = cpu_reference_seconds / tpu_seconds.  The CPU baseline runs
               the *reference's algorithm* on host: per-subdomain sparse LU
-              (SuperLU = UMFPACK-class) + per-subdomain shift-invert Lanczos
-              GEVPs (scipy eigsh = Spectra-class), executed sequentially as
-              the per-rank code would, + scipy GMRES with sequential
-              two-level applies.  dune-ddm publishes no numbers of its own
-              (BASELINE.md), so this emulation is the baseline.
+              (SuperLU = UMFPACK-class) + per-subdomain dense GEVPs (LAPACK,
+              same congruence-transform math as the TPU path — scipy's
+              shift-invert eigsh produced a qualitatively worse basis),
+              executed sequentially as the per-rank code would, + scipy
+              GMRES with sequential two-level applies.  dune-ddm publishes
+              no numbers of its own (BASELINE.md), so this emulation is the
+              baseline.
 
-Config via env: DDM_BENCH_GRIDSIZE (192), DDM_BENCH_PARTS (8 -> 64
+Config via env: DDM_BENCH_GRIDSIZE (384), DDM_BENCH_PARTS (16 -> 256
 subdomains), DDM_BENCH_OVERLAP (2), DDM_BENCH_NEV (8).
 """
 
@@ -174,8 +176,8 @@ def run_cpu_baseline(p, nev):
 
 
 def main():
-    gridsize = int(os.environ.get("DDM_BENCH_GRIDSIZE", "192"))
-    parts = int(os.environ.get("DDM_BENCH_PARTS", "8"))
+    gridsize = int(os.environ.get("DDM_BENCH_GRIDSIZE", "384"))
+    parts = int(os.environ.get("DDM_BENCH_PARTS", "16"))
     overlap = int(os.environ.get("DDM_BENCH_OVERLAP", "2"))
     nev = int(os.environ.get("DDM_BENCH_NEV", "8"))
 

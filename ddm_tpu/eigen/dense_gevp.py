@@ -29,7 +29,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from .params import EigensolverParams
+
+
+@partial(jax.jit, static_argnames=("params", "reg", "spd"))
+def solve_gevp_dense_jit(A, C, params, reg=1e-12, spd=True):
+    """Jit-stable entry point (params is frozen/hashable): reusing this
+    across preconditioner builds avoids retracing the full GEVP graph —
+    retraces cost seconds at production sizes on the remote-compile
+    backend."""
+    return solve_gevp_dense(A, C, params, reg=reg, spd=spd)
 
 
 def solve_gevp_dense(

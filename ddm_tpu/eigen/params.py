@@ -14,7 +14,7 @@ from dataclasses import dataclass
 from ..config import ParamTree
 
 
-@dataclass
+@dataclass(frozen=True)
 class EigensolverParams:
     nev: int = 16
     ncv: int = 32  # Krylov basis size — unused by the dense path
@@ -32,20 +32,24 @@ class EigensolverParams:
 
     @staticmethod
     def from_ptree(sub: ParamTree) -> "EigensolverParams":
-        p = EigensolverParams()
-        p.nev = sub.get("nev", p.nev)
-        p.ncv = sub.get("ncv", 2 * p.nev)
-        p.nev_max = sub.get("nev_max", max(p.nev, 16))
-        p.maxit = sub.get("maxit", p.maxit)
-        p.seed = sub.get("seed", p.seed)
-        p.blocksize = sub.get("blocksize", p.blocksize)
-        p.tolerance = sub.get("tolerance", p.tolerance)
-        p.shift = sub.get("shift", p.shift)
-        p.threshold = sub.get("threshold", p.threshold)
-        p.precision = sub.get("precision", p.precision)
-        if p.threshold > 0:
-            p.nev_max = max(p.nev_max, p.nev)
-        return p
+        d = EigensolverParams()
+        nev = sub.get("nev", d.nev)
+        threshold = sub.get("threshold", d.threshold)
+        nev_max = sub.get("nev_max", max(nev, 16))
+        if threshold > 0:
+            nev_max = max(nev_max, nev)
+        return EigensolverParams(
+            nev=nev,
+            ncv=sub.get("ncv", 2 * nev),
+            nev_max=nev_max,
+            maxit=sub.get("maxit", d.maxit),
+            seed=sub.get("seed", d.seed),
+            blocksize=sub.get("blocksize", d.blocksize),
+            tolerance=sub.get("tolerance", d.tolerance),
+            shift=sub.get("shift", d.shift),
+            threshold=threshold,
+            precision=sub.get("precision", d.precision),
+        )
 
     @property
     def max_kept(self) -> int:

@@ -212,3 +212,28 @@ class ScopedLog:
 
 def scoped(family: str, name: str) -> ScopedLog:
     return ScopedLog(Logger.get().register_or_get_event(family, name))
+
+
+class profile_trace:
+    """Context manager wrapping ``jax.profiler.trace`` — device-level traces
+    complementing the host-side event tree (SURVEY.md §5.1: "same event-tree
+    concept around jitted phases, plus jax.profiler traces").
+
+        with profile_trace("/tmp/ddm_trace"):
+            solve(...)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

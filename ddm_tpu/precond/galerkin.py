@@ -62,6 +62,20 @@ def galerkin_coarse_matrix(
         group -= 1
     n_groups = n_sub // group
 
+    if group == 1:
+        # compiled scan (one subdomain per step): the per-step state is small
+        # enough for the TPU compiler, and the remote backend's per-op
+        # dispatch latency makes eager loops ~4x slower here
+        def body(_, j):
+            U = scatter_add_subdomain(V[j].T[None], sub2glob[j][None], n)
+            W = ell.mv(U)
+            W_sub = gather_subdomain(W, sub2glob)
+            return None, jnp.einsum("skp,spl->skl", V, W_sub)
+
+        _, blocks = jax.lax.scan(body, None, jnp.arange(n_sub))
+        E = blocks.transpose(1, 2, 0, 3).reshape(n_sub * nev, n_sub * nev)
+        return E
+
     blocks = [
         _galerkin_group_block(
             ell, V, sub2glob,

@@ -29,7 +29,7 @@ import numpy as np
 from ..config import ParamTree
 from ..core.indexmaps import DDMTopology, extraction_map
 from ..core.sparse import SparseELL
-from ..solvers.direct import chunked_batch, factor_batched
+from ..solvers.direct import chunked_batch, factor_batched_jit
 from .extract import extract_subdomain_dense, gather_subdomain, scatter_add_subdomain
 
 
@@ -104,8 +104,7 @@ def build_schwarz(
             )
         A_sub.block_until_ready()
     with scoped("Schwarz", "factorise"):
-        jfn = jax.jit(lambda a: factor_batched(a, solver_type))
-        factors = chunked_batch(jfn, A_sub)
+        factors = chunked_batch(factor_batched_jit(solver_type), A_sub)
         jax.block_until_ready(jax.tree_util.tree_leaves(factors))
     if precision == "f32":
         # f32 fast apply + exact-sparse f64 defect correction

@@ -186,6 +186,22 @@ def batch_chunk_size(p: int, dtype_bytes: int = 8, live_buffers: int = 20,
     return max(1, budget_bytes // max(per, 1))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def factor_batched_jit(solver_type: str, mode: str = "auto",
+                       refine_steps: int | None = None, store_dtype=None):
+    """Cached jitted factorization entry: stable function identity across
+    preconditioner builds (a fresh jax.jit(lambda ...) per build retraces
+    the whole factorization graph every time)."""
+    return jax.jit(
+        lambda A: factor_batched(A, solver_type, mode=mode,
+                                 refine_steps=refine_steps,
+                                 store_dtype=store_dtype)
+    )
+
+
 def chunked_batch(fn, *arrays, chunk: int | None = None):
     """Apply a batched op over subdomain chunks, concatenating results.
 
