@@ -114,20 +114,39 @@ def setup_problem(
     )
 
 
-def build_preconditioner(p: DDMProblem):
-    """One- or two-level preconditioner per config (coarsespace.type)."""
+def build_preconditioner(p: DDMProblem, mesh=None, axis: str = "sub"):
+    """One- or two-level preconditioner per config (coarsespace.type).
+
+    With ``mesh`` given, the subdomain-batched state (factors, bases, index
+    maps) is device_put sharded over the mesh axis so preconditioner HBM is
+    actually distributed; pass the same mesh to :func:`solve`."""
     cs_type = p.ptree.sub("coarsespace").get("type", "none")
     fine = build_schwarz(p.A, p.topo, p.pou, p.ptree)
     if cs_type == "none":
-        return fine
-    from .precond.two_level import build_two_level
+        prec = fine
+    else:
+        from .precond.two_level import build_two_level
 
-    return build_two_level(p, fine)
+        prec = build_two_level(p, fine)
+    if mesh is not None:
+        from .core.mesh import shard_batched
+
+        prec = shard_batched(prec, mesh, p.topo.n_sub, axis)
+    return prec
 
 
-def solve(p: DDMProblem, prec=None) -> KrylovResult:
-    prec = prec if prec is not None else build_preconditioner(p)
+def solve(p: DDMProblem, prec=None, mesh=None, axis: str = "sub") -> KrylovResult:
+    """Krylov solve from config.  With ``mesh`` given, runs under shard_map
+    over the subdomain mesh axis (the multi-chip path, SURVEY.md §2.6) —
+    same iterates, distributed preconditioner state."""
+    prec = prec if prec is not None else build_preconditioner(p, mesh=mesh, axis=axis)
     x0 = jnp.zeros_like(p.rhs)
+    if mesh is not None:
+        from .core.mesh import solve_sharded
+
+        return solve_sharded(
+            p.A, prec, p.rhs, x0, p.ptree, mesh, p.topo.n_sub, axis
+        )
     res = solve_from_config(
         operator_of(p.A), prec_of(prec), p.rhs, x0, p.ptree, "solver"
     )

@@ -109,6 +109,41 @@ def _galerkin_group_block(ell, V, sub2glob, Vg, s2g_g):
     return jnp.einsum("skp,spl->skl", V, W_sub)  # (n_sub, nev, group*nev)
 
 
+def galerkin_coarse_matrix_sharded(
+    ell: SparseELL, sub2glob: jnp.ndarray, basis: CoarseBasis, axis: str
+) -> jnp.ndarray:
+    """Sharded-execution variant of :func:`galerkin_coarse_matrix`: the
+    per-device body of a shard_map over the subdomain mesh axis.
+
+    Inputs are the device-LOCAL subdomain blocks (basis.V, sub2glob of the
+    local subdomains); the global operator is replicated.  Each device scans
+    its local column block against the all-gathered full basis, then the
+    column blocks are all-gathered so every device holds the full
+    (masked) coarse matrix — replicated, ready for the replicated coarse
+    factorization (SURVEY.md §2.6 "coarse-level reduction": this replaces
+    the reference's rank-0 Gatherv + serial factor,
+    galerkin_preconditioner.hh:219-349).
+    """
+    n = ell.n
+    n_loc, nev, _ = basis.V.shape
+    V_all = jax.lax.all_gather(basis.V, axis, tiled=True)  # (n_tot, nev, p)
+    s2g_all = jax.lax.all_gather(sub2glob, axis, tiled=True)
+
+    def col_block(_, j):
+        U = scatter_add_subdomain(basis.V[j].T[None], sub2glob[j][None], n)
+        W = ell.mv(U)
+        W_sub = gather_subdomain(W, s2g_all)
+        return None, jnp.einsum("skp,spl->skl", V_all, W_sub)
+
+    _, blocks = jax.lax.scan(col_block, None, jnp.arange(n_loc))
+    E_cols = blocks.transpose(1, 2, 0, 3)  # (n_tot, nev, n_loc, nev)
+    E = jax.lax.all_gather(E_cols, axis, axis=2, tiled=True)
+    n_tot = V_all.shape[0]
+    E = E.reshape(n_tot * nev, n_tot * nev)
+    active_all = jax.lax.all_gather(basis.active, axis, tiled=True)
+    return _mask_inactive(E, active_all)
+
+
 def galerkin_coarse_matrix_local(
     A_sub: jnp.ndarray,
     sub2glob: jnp.ndarray,
