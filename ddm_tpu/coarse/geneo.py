@@ -183,13 +183,12 @@ def geneo_coarse_space(
     spd = (not algebraic) and getattr(p.disc, "definite", True)
     import jax
 
+    from ..eigen import solve_gevp
     from ..obs.logger import scoped
     from ..solvers.direct import chunked_batch
 
-    from ..eigen.dense_gevp import solve_gevp_dense_jit
-
     with scoped("Eigensolver", "solve GEVP"):
-        jfn = lambda A_, C_: solve_gevp_dense_jit(A_, C_, params, spd=spd)
+        jfn = lambda A_, C_: solve_gevp(A_, C_, params, spd=spd)
         lam, V, active = chunked_batch(jfn, A_neu, C)
         jax.block_until_ready(V)
     return finalize_basis(V, pou, jnp.asarray(p.topo.valid), active)

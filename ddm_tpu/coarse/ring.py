@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ParamTree
-from ..eigen.dense_gevp import solve_gevp_dense
+from ..eigen import solve_gevp
 from ..eigen.params import EigensolverParams
 from ..fem.subassembly import scale_matrix_with_pou
 from .basis import finalize_basis
@@ -36,37 +36,34 @@ from .extension import energy_minimal_extension, harmonic_parameter_basis
 from .geneo import dirichlet_dense, region_neumann
 
 
-def _adjacent_to(topo, target_mask: np.ndarray, within: np.ndarray) -> np.ndarray:
+def _adjacent_to(
+    topo, local_cols: np.ndarray, target_mask: np.ndarray, within: np.ndarray
+) -> np.ndarray:
     """(n_sub, n_pad) bool: dofs in ``within`` with a matrix-graph neighbour
-    in ``target_mask`` (host, via the local-column extraction map)."""
-    from ..core.indexmaps import extraction_map
-
-    lc = extraction_map(topo, _adjacent_to._cols)  # (n_sub, n_pad, m)
-    n_pad = topo.n_pad
+    in ``target_mask``.  ``local_cols`` is the subdomain-local extraction map
+    (core/indexmaps.py:extraction_map of the problem's column array)."""
     tm = np.concatenate([target_mask, np.zeros((topo.n_sub, 1), bool)], axis=1)
     hit = np.take_along_axis(
-        tm, lc.reshape(topo.n_sub, -1), axis=1
-    ).reshape(lc.shape)
+        tm, local_cols.reshape(topo.n_sub, -1), axis=1
+    ).reshape(local_cols.shape)
     return within & hit.any(axis=2)
 
 
-def _prepare_adjacency(topo, ell_cols: np.ndarray):
-    _adjacent_to._cols = ell_cols
-
-
 def geneo_ring_coarse_space(p, ptree: ParamTree):
+    from ..core.indexmaps import extraction_map
+
     topo = p.topo
     params = EigensolverParams.from_ptree(ptree.sub("geneo_ring.eigensolver"))
     pou = jnp.asarray(p.pou)
     valid = topo.valid
-    _prepare_adjacency(topo, np.asarray(p.A.cols))
+    local_cols = extraction_map(topo, np.asarray(p.A.cols))
 
     ring = valid & (topo.bdist <= 2 * topo.overlap + 1)
     not_ring = valid & ~ring
     # inner ring boundary: ring dofs with a neighbour outside the ring
-    irb = _adjacent_to(topo, not_ring, ring)
+    irb = _adjacent_to(topo, local_cols, not_ring, ring)
     # layer one inside the ring: ring\irb dofs adjacent to irb
-    inside_rb = _adjacent_to(topo, irb, ring & ~irb)
+    inside_rb = _adjacent_to(topo, local_cols, irb, ring & ~irb)
     # extension free set: interior + inner ring boundary
     ext_free = not_ring | irb
 
@@ -82,7 +79,7 @@ def geneo_ring_coarse_space(p, ptree: ParamTree):
     mod_pou = jnp.where(jnp.asarray(ring & ~irb), pou, 0.0)
     C = scale_matrix_with_pou(jnp.where(keep, A_ring, 0.0), mod_pou)
 
-    lam, V_ring, active = solve_gevp_dense(A_eig, C, params)
+    lam, V_ring, active = solve_gevp(A_eig, C, params)
 
     A_dir, dmask = dirichlet_dense(p)
     data = jnp.where(jnp.asarray(inside_rb)[:, None, :], V_ring, 0.0)
@@ -127,7 +124,7 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree):
     Bhat = jnp.einsum("spk,spq,sql->skl", H, B, H)
     par = jnp.asarray(bnd_class)
     Ahat = Ahat + jnp.eye(topo.n_pad)[None] * (~par)[:, :, None]
-    lam, W, active = solve_gevp_dense(Ahat, Bhat, params)
+    lam, W, active = solve_gevp(Ahat, Bhat, params)
     V_ring = jnp.einsum("spq,skq->skp", H, W)
 
     # extension from the bdist == shrink + ring_width - 1 layer

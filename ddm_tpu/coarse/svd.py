@@ -22,12 +22,10 @@ from .extension import masked_operator
 from .geneo import dirichlet_dense
 
 
-def svd_coarse_space(p, ptree: ParamTree):
+def _svd_operator(p):
+    """T = D * A_ii^{-1} * A_{i,Gamma} as one batched masked solve.
+    Returns (T, interior_mask)."""
     topo = p.topo
-    sub = ptree.sub("svd_coarse_space")
-    nev = sub.get("n", 10)
-    mult_pou = sub.get("mult_pou", False)
-
     A_dir, dmask = dirichlet_dense(p)
     dmask_np = np.asarray(dmask)
     boundary = topo.valid & np.asarray(topo.boundary) & ~dmask_np
@@ -36,12 +34,19 @@ def svd_coarse_space(p, ptree: ParamTree):
     bm = jnp.asarray(boundary)
 
     Aib = jnp.where(im[:, :, None] & bm[:, None, :], A_dir, 0.0)
-    M = masked_operator(A_dir, im)
-    fac = factor_batched(M, "lu", mode="factors")
-    T = fac.solve(Aib)
-    T = jnp.where(im[:, :, None] & bm[:, None, :], T, 0.0)
+    fac = factor_batched(masked_operator(A_dir, im), "lu", mode="factors")
+    T = jnp.where(im[:, :, None] & bm[:, None, :], fac.solve(Aib), 0.0)
     T = T * jnp.asarray(p.pou)[:, :, None]  # D * T (interior rows)
+    return T, im
 
+
+def svd_coarse_space(p, ptree: ParamTree):
+    topo = p.topo
+    sub = ptree.sub("svd_coarse_space")
+    nev = sub.get("n", 10)
+    mult_pou = sub.get("mult_pou", False)
+
+    T, im = _svd_operator(p)
     U, s, _ = jnp.linalg.svd(T, full_matrices=False)
     V = U[:, :, :nev].transpose(0, 2, 1)  # (n_sub, nev, p)
     V = jnp.where(im[:, None, :], V, 0.0)
@@ -54,16 +59,5 @@ def svd_coarse_space(p, ptree: ParamTree):
 def singular_values(p) -> np.ndarray:
     """Diagnostic: the singular-value spectra (reference writes them to
     singular_values_<rank>.txt, coarse_spaces.hh:1387-1391)."""
-    import jax.numpy as jnp
-
-    A_dir, dmask = dirichlet_dense(p)
-    topo = p.topo
-    dmask_np = np.asarray(dmask)
-    boundary = topo.valid & np.asarray(topo.boundary) & ~dmask_np
-    interior = topo.valid & ~np.asarray(topo.boundary) & ~dmask_np
-    im, bm = jnp.asarray(interior), jnp.asarray(boundary)
-    Aib = jnp.where(im[:, :, None] & bm[:, None, :], A_dir, 0.0)
-    fac = factor_batched(masked_operator(A_dir, im), "lu", mode="factors")
-    T = jnp.where(im[:, :, None] & bm[:, None, :], fac.solve(Aib), 0.0)
-    T = T * jnp.asarray(p.pou)[:, :, None]
+    T, _ = _svd_operator(p)
     return np.asarray(jnp.linalg.svd(T, compute_uv=False))

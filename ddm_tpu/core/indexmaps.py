@@ -42,7 +42,6 @@ def partition_structured(shape: tuple[int, ...], parts: tuple[int, ...]) -> np.n
     Returns (n_elems,) subdomain id, elements ordered axis-0-fastest."""
     dim = len(shape)
     assert len(parts) == dim
-    idx = np.indices(shape).reshape(dim, -1)  # axis-0 fastest ordering is 'F'
     idx = np.stack(
         np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"), axis=0
     ).reshape(dim, -1, order="F")

@@ -1,2 +1,39 @@
+"""Eigensolver subsystem: batched dense GEVP + batched LOBPCG, dispatched
+by config like the reference's solve_gevp (dune/ddm/eigensolvers/
+eigensolvers.hh:14-38 — there only Type::Spectra is implemented; the
+"KrylovSchur" type its configs reference maps to the iterative path here)."""
+
+from .dense_gevp import solve_gevp_dense, solve_gevp_dense_jit  # noqa: F401
 from .params import EigensolverParams  # noqa: F401
-from .dense_gevp import solve_gevp_dense  # noqa: F401
+
+_DENSE_NAMES = {"spectra", "dense"}
+_ITERATIVE_NAMES = {"krylovschur", "lobpcg", "lanczos", "blocklanczos"}
+
+
+def solve_gevp(A, C, params: EigensolverParams, spd: bool = True,
+               prec_inv=None):
+    """Solve the batched pencil A v = lambda C v, keeping the smallest
+    eigenpairs per ``params`` — the config-dispatched entry
+    (``eigensolver.type``).  Returns (lam, V, active) with the static
+    (n_sub, params.max_kept) layout of both backends.
+
+    * ``spectra``/``dense``: the congruence-transform dense solver —
+      deterministic full spectrum, the default (dense_gevp.py).
+    * ``krylovschur``/``lobpcg``/``lanczos``: batched LOBPCG with the
+      reference's adaptive nev/threshold escalation (lobpcg.py) — for
+      subdomains large enough that the O(p^3) eigh dominates.  spd=False
+      pencils (indefinite DG Neumann sums) must use the dense path.
+    """
+    t = params.type.lower()
+    if t in _DENSE_NAMES:
+        return solve_gevp_dense_jit(A, C, params, spd=spd)
+    if t in _ITERATIVE_NAMES:
+        if not spd:
+            raise ValueError(
+                "the iterative eigensolver requires an SPD pencil; "
+                "indefinite problems must use eigensolver.type=spectra"
+            )
+        from .lobpcg import lobpcg_gevp_adaptive
+
+        return lobpcg_gevp_adaptive(A, C, params, prec_inv=prec_inv)
+    raise ValueError(f"Unknown eigensolver type '{params.type}'")

@@ -16,14 +16,28 @@ from ..config import ParamTree
 
 @dataclass(frozen=True)
 class EigensolverParams:
+    """Field inventory mirrors eigensolver_params.hh:8-62.  Which fields are
+    live depends on the selected solver ``type`` (eigen/__init__.solve_gevp):
+
+    * dense path ("spectra"/"dense"): nev, nev_max, threshold, precision.
+      The dense transform returns the full spectrum deterministically, so
+      the iterative-solver controls (ncv, maxit, seed, blocksize, tolerance,
+      shift) are accepted for config compatibility but have no effect.
+    * iterative path ("krylovschur"/"lobpcg"): additionally maxit, seed,
+      blocksize, tolerance (convergence test) and the adaptive nev-doubling
+      against threshold; ncv and shift remain compatibility-only (LOBPCG
+      has no Krylov basis to size and needs no shift-invert).
+    """
+
+    type: str = "spectra"
     nev: int = 16
-    ncv: int = 32  # Krylov basis size — unused by the dense path
+    ncv: int = 32  # Krylov basis size — compatibility only (see docstring)
     nev_max: int = 16
     maxit: int = 1000
     seed: int = 1
     blocksize: int = 8
     tolerance: float = 1e-5
-    shift: float = 1e-3
+    shift: float = 1e-3  # compatibility only (no shift-invert needed)
     threshold: float = -0.5
     # "f64", "f32", or "auto": f32 on TPU (the f64-emulated eigh is ~100x
     # slower there), f64 on CPU.  Coarse-space quality only needs the
@@ -39,6 +53,7 @@ class EigensolverParams:
         if threshold > 0:
             nev_max = max(nev_max, nev)
         return EigensolverParams(
+            type=sub.get("type", d.type),
             nev=nev,
             ncv=sub.get("ncv", 2 * nev),
             nev_max=nev_max,

@@ -68,6 +68,10 @@ class KrylovResult(NamedTuple):
     defect0: jnp.ndarray
     defect: jnp.ndarray
     history: jnp.ndarray  # (maxit + 1,) defect per iteration, nan-padded
+    # ISTL throws SolverAbort on BiCGStab rho/h/omega underflow; a jitted
+    # solver cannot throw, so the condition surfaces as this flag instead
+    # (False for solvers without breakdown modes)
+    breakdown: jnp.ndarray = False
 
 
 def _norm(x):
@@ -390,6 +394,9 @@ def fgmres_solve(
     )
 
 
+_BREAKDOWN_EPS = 1e-80  # ISTL BiCGSTABSolver's EPSILON breakdown guard
+
+
 @partial(jax.jit, static_argnames=("maxit",))
 def bicgstab_solve(
     op: Callable,
@@ -399,60 +406,107 @@ def bicgstab_solve(
     reduction: float = 1e-8,
     maxit: int = 1000,
 ) -> KrylovResult:
-    """Preconditioned BiCGStab (ISTL BiCGSTABSolver layout; true-residual
-    norm monitored, counts each half-step like ISTL's it+=.5 bookkeeping
-    rounded to full steps)."""
+    """Preconditioned BiCGStab with ISTL BiCGSTABSolver semantics
+    (dune-istl solvers.hh):
+
+    * **half-iteration accounting**: the true-residual norm is checked after
+      the first half-step (x += alpha y) AND after the stabilization
+      half-step, exactly like ISTL's ``it += .5`` bookkeeping — convergence
+      at a half-iteration stops there; ``iterations`` reports
+      ceil(halves / 2) as ISTL's result does;
+    * **breakdown detection**: |rho|, |omega| (previous step) and |h| =
+      <rt, v> underflowing ISTL's EPSILON=1e-80 stop the iteration with
+      ``result.breakdown`` set (ISTL throws SolverAbort; jitted code cannot
+      throw, so callers check the flag).
+    """
     if prec is None:
         prec = identity_prec()
+    dtype = b.dtype
 
-    r = b - op(x0)
-    rt = r
-    def0 = _norm(r)
+    r0 = b - op(x0)
+    rt = r0
+    def0 = _norm(r0)
     target = jnp.maximum(reduction * def0, _ABS_LIMIT)
-    hist0 = jnp.full((maxit + 1,), jnp.nan, b.dtype).at[0].set(def0)
+    hist0 = jnp.full((maxit + 1,), jnp.nan, dtype).at[0].set(def0)
+    eps = jnp.asarray(_BREAKDOWN_EPS, dtype)
 
-    State = tuple
+    def _safe(d):
+        return jnp.where(jnp.abs(d) <= eps, 1.0, d)
 
-    def cond(st: State):
-        x, r, p, v, rho, alpha, omega, defect, it, hist = st
-        return (defect > target) & (it < maxit)
+    def cond(st):
+        x, r, p, v, rho, alpha, omega, defect, half, hist, brk = st
+        return (defect > target) & (half < 2 * maxit) & ~brk
 
-    def body(st: State):
-        x, r, p, v, rho, alpha, omega, defect, it, hist = st
-        rho2 = jnp.vdot(rt, r)
-        beta = (rho2 / jnp.where(rho == 0, 1.0, rho)) * (
-            alpha / jnp.where(omega == 0, 1.0, omega)
-        )
-        p = r + beta * (p - omega * v)
-        phat = prec(p)
-        v = op(phat)
-        alpha = rho2 / jnp.vdot(rt, v)
-        s = r - alpha * v
-        shat = prec(s)
-        t = op(shat)
-        omega = jnp.vdot(t, s) / jnp.maximum(jnp.vdot(t, t), _ABS_LIMIT)
-        x = x + alpha * phat + omega * shat
-        r = s - omega * t
-        defect = _norm(r)
-        it = it + 1
-        hist = hist.at[it].set(defect)
-        return (x, r, p, v, rho2, alpha, omega, defect, it, hist)
+    def body(st):
+        x, r, p, v, rho, alpha, omega, defect, half, hist, brk = st
+        # previous-step rho/omega underflow aborts before any update
+        # (ISTL checks at the loop head)
+        brk0 = (jnp.abs(rho) <= eps) | (jnp.abs(omega) <= eps)
+
+        def broken(_):
+            return (x, r, p, v, rho, alpha, omega, defect, half, hist, True)
+
+        def work(_):
+            rho_new = jnp.vdot(rt, r)
+            beta = (rho_new / _safe(rho)) * (alpha / _safe(omega))
+            p1 = r + beta * (p - omega * v)
+            phat = prec(p1)
+            v1 = op(phat)
+            h = jnp.vdot(rt, v1)
+            brk_h = jnp.abs(h) <= eps  # ISTL: "breakdown in BiCGSTAB - h"
+
+            def abort_h(_):
+                return (x, r, p1, v1, rho_new, alpha, omega, defect, half,
+                        hist, True)
+
+            def first_half(_):
+                alpha1 = rho_new / h
+                x1 = x + alpha1 * phat
+                s = r - alpha1 * v1
+                half1 = half + 1
+                defect1 = _norm(s)
+                hist1 = hist.at[(half1 + 1) // 2].set(defect1)
+                done = (defect1 <= target) | (half1 >= 2 * maxit)
+
+                def stop_half(_):
+                    return (x1, s, p1, v1, rho_new, alpha1, omega, defect1,
+                            half1, hist1, False)
+
+                def second_half(_):
+                    shat = prec(s)
+                    t = op(shat)
+                    omega1 = jnp.vdot(t, s) / _safe(jnp.vdot(t, t))
+                    x2 = x1 + omega1 * shat
+                    r2 = s - omega1 * t
+                    half2 = half1 + 1
+                    defect2 = _norm(r2)
+                    hist2 = hist1.at[(half2 + 1) // 2].set(defect2)
+                    return (x2, r2, p1, v1, rho_new, alpha1, omega1, defect2,
+                            half2, hist2, False)
+
+                return jax.lax.cond(done, stop_half, second_half, None)
+
+            return jax.lax.cond(brk_h, abort_h, first_half, None)
+
+        return jax.lax.cond(brk0, broken, work, None)
 
     zeros = jnp.zeros_like(b)
-    one = jnp.asarray(1.0, b.dtype)
+    one = jnp.asarray(1.0, dtype)
     st = jax.lax.while_loop(
         cond,
         body,
-        (x0, r, zeros, zeros, one, one, one, def0, jnp.int32(0), hist0),
+        (x0, r0, zeros, zeros, one, one, one, def0, jnp.int32(0), hist0,
+         jnp.asarray(False)),
     )
-    x, r, p, v, rho, alpha, omega, defect, it, hist = st
+    x, r, p, v, rho, alpha, omega, defect, half, hist, brk = st
     return KrylovResult(
         x=x,
-        iterations=it,
-        converged=defect <= target,
+        iterations=(half + 1) // 2,  # ISTL: ceil of the half-step count
+        converged=(defect <= target) & ~brk,
         defect0=def0,
         defect=defect,
         history=hist,
+        breakdown=brk,
     )
 
 

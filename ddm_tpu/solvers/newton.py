@@ -49,6 +49,7 @@ def newton_solve(
     fixed_linear_reduction: bool = False,
     line_search_max: int = 10,
     line_search_damping: float = 0.5,
+    line_search_accept_best: bool = False,
 ) -> NewtonResult:
     u = u0
     r, J = residual_jacobian(u)
@@ -72,17 +73,27 @@ def newton_solve(
         dz, n_lin = linear_solve(J, r, lin_red)
         lin_total += int(n_lin)
 
-        # backtracking line search on ||r||
+        # Hackbusch-Reusken backtracking line search: accept on the
+        # sufficient-decrease test ||r(u - lam dz)|| < (1 - lam/4) ||r(u)||
+        # (PDELab LineSearchHackbuschReusken), optionally falling back to
+        # the best trial seen (PDELab's AcceptBest variant)
         lam = 1.0
         best = None
+        best_seen = None
         for _ in range(line_search_max):
             u_try = u - lam * dz
             r_try, J_try = residual_jacobian(u_try)
             d_try = float(jnp.linalg.norm(r_try))
-            if d_try < defect:
+            if best_seen is None or d_try < best_seen[3]:
+                best_seen = (u_try, r_try, J_try, d_try)
+            if d_try < (1.0 - lam / 4.0) * defect:
                 best = (u_try, r_try, J_try, d_try)
                 break
             lam *= line_search_damping
+        if best is None and line_search_accept_best and best_seen[3] < defect:
+            logger.debug("Newton line search accepting best trial (defect {})",
+                         best_seen[3])
+            best = best_seen
         if best is None:
             logger.warn("Newton line search failed at iteration {}", it)
             return NewtonResult(u, it, False, def0, defect, lin_total, history)
@@ -108,4 +119,5 @@ def newton_from_config(residual_jacobian, linear_solve, u0, ptree: ParamTree,
         fixed_linear_reduction=sub.get("FixedLinearReduction", False),
         line_search_max=sub.get("LineSearchMaxIterations", 10),
         line_search_damping=sub.get("LineSearchDampingFactor", 0.5),
+        line_search_accept_best=sub.get("LineSearchAcceptBest", False),
     )

@@ -96,3 +96,53 @@ def test_sparse_refined_inverse():
                           / jnp.abs(x_ref).max()))
     assert errs[1] < 0.5 * errs[0]
     assert errs[2] <= errs[1] * 1.5  # monotone-ish (floor-limited)
+
+
+def test_bicgstab_breakdown_flag():
+    """<rt, A rt> = 0 underflows ISTL's h-breakdown guard on the first
+    half-step: ISTL throws SolverAbort (solvers.hh), the jitted solver
+    reports it via result.breakdown instead of silently continuing."""
+    import jax
+    from ddm_tpu.solvers.krylov import bicgstab_solve
+
+    op = jax.tree_util.Partial(lambda x: jnp.stack([x[1], -x[0]]))
+    b = jnp.asarray([1.0, 0.0])
+    res = bicgstab_solve(op, None, b, jnp.zeros_like(b),
+                         reduction=1e-10, maxit=10)
+    assert bool(res.breakdown)
+    assert not bool(res.converged)
+
+
+def test_bicgstab_half_iteration_convergence():
+    """With A = I the first half-step already zeroes the residual: ISTL's
+    it += .5 accounting stops there (iterations = ceil(0.5) = 1) instead of
+    running the stabilization half."""
+    import jax
+    from ddm_tpu.solvers.krylov import bicgstab_solve
+
+    op = jax.tree_util.Partial(lambda x: x)
+    b = jnp.asarray([1.0, 2.0, 3.0])
+    res = bicgstab_solve(op, None, b, jnp.zeros_like(b),
+                         reduction=1e-12, maxit=10)
+    assert bool(res.converged) and not bool(res.breakdown)
+    assert int(res.iterations) == 1
+    assert float(res.defect) < 1e-14
+
+
+def test_bicgstab_solves_spd_system():
+    """Regression: full-step path still solves a real SPD system with the
+    half-step bookkeeping."""
+    import jax
+    from ddm_tpu.solvers.krylov import bicgstab_solve
+
+    rng = np.random.default_rng(5)
+    n = 40
+    Q = rng.normal(size=(n, n))
+    A = jnp.asarray(Q @ Q.T + n * np.eye(n))
+    op = jax.tree_util.Partial(lambda M, x: M @ x, A)
+    b = jnp.asarray(rng.normal(size=n))
+    res = bicgstab_solve(op, None, b, jnp.zeros_like(b),
+                         reduction=1e-10, maxit=200)
+    assert bool(res.converged) and not bool(res.breakdown)
+    x = np.asarray(res.x)
+    np.testing.assert_allclose(np.asarray(A) @ x, np.asarray(b), rtol=1e-8)

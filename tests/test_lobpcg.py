@@ -34,7 +34,7 @@ def test_lobpcg_known_spectrum():
     rng = np.random.default_rng(1)
     X0 = jnp.asarray(rng.normal(size=(1, p, m)))
     prec = jnp.asarray(np.diag(1.0 / diag)[None])
-    lam, V, rn = lobpcg_gevp(A, C, X0, prec_inv=prec, maxit=80)
+    lam, V, rn, _ = lobpcg_gevp(A, C, X0, prec_inv=prec, maxit=80)
     np.testing.assert_allclose(np.asarray(lam[0]), np.arange(1.0, m + 1),
                                rtol=1e-8)
     # residual identity ||A v - lam C v|| small (the Lanczos-step identity;
@@ -53,7 +53,7 @@ def test_lobpcg_cross_validates_dense():
     rng = np.random.default_rng(2)
     X0 = jnp.asarray(rng.normal(size=(A.shape[0], A.shape[1], m)))
     prec = jnp.linalg.inv(A + 1e-8 * jnp.eye(A.shape[1]))
-    lam_l, V_l, rn = lobpcg_gevp(A, C, X0, prec_inv=prec, maxit=120)
+    lam_l, V_l, rn, _ = lobpcg_gevp(A, C, X0, prec_inv=prec, maxit=120)
     np.testing.assert_allclose(np.asarray(lam_l), np.asarray(lam_d[:, :m]),
                                rtol=1e-6)
     # eigenvector agreement up to sign: |<v_d, C v_l>| ~ C-norms product
@@ -64,6 +64,87 @@ def test_lobpcg_cross_validates_dense():
             Cs = np.asarray(C[s])
             ip = abs(vd @ Cs @ vl) / np.sqrt((vd @ Cs @ vd) * (vl @ Cs @ vl))
             assert ip > 1 - 1e-6, (s, k, ip)
+
+
+def test_lobpcg_tol_is_live():
+    """A loose tolerance must stop earlier than a tight one (the tol
+    parameter drives the convergence test, not a fixed-length scan)."""
+    A, C = make_pencils()
+    rng = np.random.default_rng(4)
+    X0 = jnp.asarray(rng.normal(size=(A.shape[0], A.shape[1], 4)))
+    prec = jnp.linalg.inv(A + 1e-8 * jnp.eye(A.shape[1]))
+    *_, it_loose = lobpcg_gevp(A, C, X0, prec_inv=prec, maxit=500, tol=1e-2)
+    *_, it_tight = lobpcg_gevp(A, C, X0, prec_inv=prec, maxit=500, tol=1e-11)
+    assert int(it_loose) < int(it_tight) <= 500
+
+
+def test_dispatch_krylovschur_matches_dense():
+    """eigensolver.type=KrylovSchur (the name the reference's poisson.ini:45
+    uses) dispatches to the iterative path; eigenvalues must match the dense
+    transform — the reference's two-solver cross-check
+    (test_eigensolver.cc:230-240)."""
+    from ddm_tpu.eigen import solve_gevp
+
+    A, C = make_pencils()
+    params_d = EigensolverParams(nev=4, threshold=-1.0)
+    params_i = EigensolverParams(
+        type="KrylovSchur", nev=4, threshold=-1.0, tolerance=1e-10, maxit=400
+    )
+    lam_d, _, act_d = solve_gevp(A, C, params_d)
+    lam_i, _, act_i = solve_gevp(A, C, params_i)
+    np.testing.assert_allclose(np.asarray(lam_i), np.asarray(lam_d),
+                               rtol=1e-6)
+    assert bool(act_i.all()) and bool(act_d.all())
+    # indefinite pencils must refuse the iterative path
+    with pytest.raises(ValueError, match="SPD"):
+        solve_gevp(A, C, params_i, spd=False)
+
+
+def test_adaptive_nev_escalation():
+    """threshold > 0: the block width doubles until the largest computed
+    eigenvalue clears the threshold (spectra.hh:157-189 nev escalation),
+    and the active mask keeps exactly the below-threshold prefix."""
+    from ddm_tpu.eigen.lobpcg import lobpcg_gevp_adaptive
+
+    p = 32
+    diag = np.arange(1.0, p + 1)
+    A = jnp.asarray(np.stack([np.diag(diag)] * 2))
+    C = jnp.asarray(np.stack([np.eye(p)] * 2))
+    params = EigensolverParams(
+        type="lobpcg", nev=2, blocksize=2, nev_max=8, threshold=6.5,
+        tolerance=1e-9, maxit=400,
+    )
+    lam, V, active = lobpcg_gevp_adaptive(A, C, params)
+    assert lam.shape == (2, 8)  # escalated to nev_max
+    np.testing.assert_allclose(np.asarray(lam[:, :6]),
+                               np.tile(np.arange(1.0, 7), (2, 1)), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(active.sum(axis=1)), [6, 6])
+
+
+def test_geneo_pipeline_with_iterative_eigensolver():
+    """Config-selectable end to end: geneo.eigensolver.type=KrylovSchur runs
+    the full two-level pipeline on the islands problem with iteration counts
+    matching the dense-eigensolver pipeline."""
+    from ddm_tpu.api import default_ptree, setup_problem, solve
+    from ddm_tpu.fem import problems as pm
+
+    def run(es_type):
+        pt = default_ptree()
+        pt["gridsize"] = 32
+        pt["solver.type"] = "restartedgmressolver"
+        pt["solver.reduction"] = 1e-8
+        pt["coarsespace.type"] = "geneo"
+        pt["geneo.eigensolver.type"] = es_type
+        pt["geneo.eigensolver.nev"] = 4
+        pt["geneo.eigensolver.threshold"] = -1.0
+        pt["geneo.eigensolver.tolerance"] = 1e-8
+        p = setup_problem(pt, problem=pm.islands(), parts=(2, 2))
+        return solve(p)
+
+    res_d = run("spectra")
+    res_i = run("KrylovSchur")
+    assert bool(res_i.converged)
+    assert abs(int(res_i.iterations) - int(res_d.iterations)) <= 1
 
 
 def test_lobpcg_geneo_pencil():
@@ -88,6 +169,6 @@ def test_lobpcg_geneo_pencil():
     rng = np.random.default_rng(3)
     X0 = jnp.asarray(rng.normal(size=(A_r.shape[0], A_r.shape[1], 4)))
     prec = jnp.linalg.inv(A_r + 1e-6 * jnp.eye(A_r.shape[1]))
-    lam_l, V_l, rn = lobpcg_gevp(A_r, C, X0, prec_inv=prec, maxit=200)
+    lam_l, V_l, rn, _ = lobpcg_gevp(A_r, C, X0, prec_inv=prec, maxit=200)
     np.testing.assert_allclose(np.asarray(lam_l), np.asarray(lam_d[:, :4]),
                                rtol=1e-3)

@@ -91,3 +91,59 @@ def test_newton_linear_problem_single_step():
     res = solver.solve()
     assert res.converged
     assert res.iterations <= 2
+
+
+def test_hackbusch_reusken_line_search():
+    """The line search accepts on the sufficient-decrease test
+    ||r(u - lam dz)|| < (1 - lam/4) ||r(u)|| (PDELab
+    LineSearchHackbuschReusken), not on simple decrease: a direction giving
+    only marginal decrease at lam=1 must be damped."""
+    from ddm_tpu.solvers.newton import newton_solve
+
+    calls = []
+
+    # 1-D problem r(u) = u (linear), but feed Newton a deliberately BAD
+    # 10x-overshooting step via a scaled "Jacobian": at lam=1 the defect
+    # grows 9x (rejected), at lam=0.125 it shrinks to 0.75|u| <
+    # (1 - 0.125/4)|u| (accepted by sufficient decrease)
+    def residual_jacobian(u):
+        calls.append(float(u[0]))
+        return u, jnp.asarray([[0.1]])
+
+    def linear_solve(J, r, red):
+        return r / J[0, 0], 1  # dz = 10 u
+
+    res = newton_solve(residual_jacobian, linear_solve,
+                       jnp.asarray([1.0]), reduction=1e-10, maxit=60)
+    assert res.converged
+    # simple-decrease acceptance at lam=0.1875... does not exist; the
+    # accepted damping must satisfy the (1 - lam/4) margin each step
+    hist = res.history
+    assert all(hist[i + 1] < hist[i] for i in range(len(hist) - 1))
+
+
+def test_line_search_accept_best():
+    """PDELab's AcceptBest fallback: when no trial passes the sufficient-
+    decrease test, the best strictly-decreasing trial is taken instead of
+    failing."""
+    from ddm_tpu.solvers.newton import newton_solve
+
+    # r(u) = sign(u) * sqrt(|u|): Newton overshoots wildly; sufficient
+    # decrease (1 - lam/4) fails at lam=1 (defect ratio ~ 1) but some
+    # damped trial still strictly decreases
+    def residual_jacobian(u):
+        r = jnp.sign(u) * jnp.sqrt(jnp.abs(u) + 1e-30)
+        J = jnp.asarray([[0.5 / float(jnp.sqrt(jnp.abs(u[0]) + 1e-30))]])
+        return r, J
+
+    def linear_solve(J, r, red):
+        return r / J[0, 0], 1
+
+    res_strict = newton_solve(residual_jacobian, linear_solve,
+                              jnp.asarray([1.0]), reduction=1e-3, maxit=8,
+                              line_search_accept_best=False)
+    res_best = newton_solve(residual_jacobian, linear_solve,
+                            jnp.asarray([1.0]), reduction=1e-3, maxit=8,
+                            line_search_accept_best=True)
+    # accept_best must do at least as well as the strict variant
+    assert res_best.defect <= res_strict.defect
