@@ -191,4 +191,19 @@ def geneo_coarse_space(
         jfn = lambda A_, C_: solve_gevp(A_, C_, params, spd=spd)
         lam, V, active = chunked_batch(jfn, A_neu, C)
         jax.block_until_ready(V)
+    if constrained:
+        # interior-constraint correction (ConstraintGenEOCoarseSpace,
+        # coarse_spaces.hh:425-481): each eigenvector's interior is replaced
+        # by its A_dir-harmonic extension X_i = -A_ii^{-1} A_ib X_b, where
+        # "interior" = dofs off the subdomain boundary.  The shipped
+        # reference constructs this callback but its solve_gevp discards it
+        # (eigensolvers.hh:26-38); here the capability is real — one batched
+        # masked solve over all subdomains and eigenvectors at once.
+        from .extension import energy_minimal_extension
+
+        with scoped("Eigensolver", "constraint solve"):
+            A_dir, _ = dirichlet_dense(p)
+            interior = jnp.asarray(p.topo.valid & ~np.asarray(p.topo.boundary))
+            V = energy_minimal_extension(A_dir, interior, V)
+            V = jnp.where(active[:, :, None], V, 0.0)
     return finalize_basis(V, pou, jnp.asarray(p.topo.valid), active)

@@ -93,3 +93,37 @@ def test_harmonic_extension_is_a_harmonic():
     R = jnp.einsum("spq,skq->skp", A_dir, V)
     R_int = jnp.where(interior[:, None, :], R, 0.0)
     assert float(jnp.abs(R_int).max()) < 1e-8 * float(jnp.abs(V).max() + 1)
+
+
+def test_constraint_geneo_interior_correction():
+    """ConstraintGenEO's constraint machinery (coarse_spaces.hh:425-481) is
+    real: the basis differs from plain GenEO, the pre-finalize eigenvectors
+    are A_dir-harmonic in the interior (X_i = -A_ii^{-1} A_ib X_b), and the
+    two-level solve stays contrast-robust.  (The shipped reference discards
+    the constraint callback at eigensolvers.hh:26-38 — this implements the
+    intended capability.)"""
+    from ddm_tpu.coarse.extension import energy_minimal_extension
+    from ddm_tpu.coarse.geneo import dirichlet_dense, geneo_coarse_space
+
+    p, pt = islands_problem(
+        "constraint_geneo", **{"constraint_geneo.eigensolver.nev": 8}
+    )
+    pt["geneo.eigensolver.nev"] = 8
+    basis_c = geneo_coarse_space(p, pt, constrained=True)
+    basis_g = geneo_coarse_space(p, pt, constrained=False)
+    diff = float(jnp.abs(basis_c.V - basis_g.V).max())
+    assert diff > 1e-8, "constraint correction changed nothing"
+
+    # harmonicity: the correction X_i = -A_ii^{-1} A_ib X_b makes
+    # (A_dir X)_i vanish at interior dofs (checked on the extension of the
+    # plain-GenEO vectors, pre-POU-finalization)
+    A_dir, _ = dirichlet_dense(p)
+    interior = jnp.asarray(p.topo.valid & ~np.asarray(p.topo.boundary))
+    W = energy_minimal_extension(A_dir, interior, basis_g.V)
+    resid = jnp.einsum("spq,skq->skp", A_dir, W)
+    resid = jnp.where(interior[:, None, :], resid, 0.0)
+    assert float(jnp.abs(resid).max()) < 1e-8
+
+    prec, res = run(p)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 35, int(res.iterations)
