@@ -41,7 +41,7 @@ import scipy.sparse as sps
 
 from ..core.sparse import EllPattern, SparseELL
 from .assemble import ElementQuadrature, assemble_convection_diffusion
-from .grids import Grid
+from .grids import ELEM_FACES, Grid
 from .problems import Problem
 
 _G = 1.0 / np.sqrt(3.0)
@@ -360,3 +360,301 @@ class DGDiscretization:
             both = np.concatenate([d[em], d[ep]], axis=1)
             groups.append((both, K))
         return groups
+
+
+# ===========================================================================
+# Unstructured simplex DG (P1 SIPG on triangle meshes)
+# ===========================================================================
+
+def _match_faces(elems: np.ndarray, elem_type: str):
+    """Enumerate mesh faces from ELEM_FACES (general unstructured path,
+    replacing the structured i/j face families).
+
+    Returns (interior, boundary):
+      interior: (elem_m, lf_m, elem_p, lf_p) int arrays, one row set per
+                shared face (minus = lower element id);
+      boundary: (elem, lf) for faces owned by exactly one element.
+    """
+    faces = ELEM_FACES[elem_type]
+    n_e = elems.shape[0]
+    n_lf = len(faces)
+    all_faces = np.stack(
+        [np.sort(elems[:, list(f)], axis=1) for f in faces], axis=1
+    ).reshape(n_e * n_lf, -1)  # row order: elem-major, local-face-minor
+    owner_elem = np.repeat(np.arange(n_e), n_lf)
+    owner_lf = np.tile(np.arange(n_lf), n_e)
+    uniq, inverse, counts = np.unique(
+        all_faces, axis=0, return_inverse=True, return_counts=True
+    )
+    order = np.argsort(inverse, kind="stable")
+    starts = np.zeros(uniq.shape[0], dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    if counts.max() > 2:
+        raise ValueError("non-manifold mesh: a face shared by >2 elements")
+    two = counts == 2
+    first = order[starts[two]]
+    second = order[starts[two] + 1]
+    one = order[starts[~two]]
+    interior = (owner_elem[first], owner_lf[first],
+                owner_elem[second], owner_lf[second])
+    boundary = (owner_elem[one], owner_lf[one])
+    return interior, boundary
+
+
+def _barycentric(xe: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """P1 trace values: barycentric coordinates of physical points.
+
+    xe: (nf, 3, 2) triangle vertices; pts: (nf, q, 2).
+    Returns (nf, q, 3)."""
+    v1 = xe[:, 1] - xe[:, 0]  # (nf, 2)
+    v2 = xe[:, 2] - xe[:, 0]
+    det = v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]  # (nf,)
+    r = pts - xe[:, None, 0]  # (nf, q, 2)
+    l1 = (r[..., 0] * v2[:, None, 1] - r[..., 1] * v2[:, None, 0]) / det[:, None]
+    l2 = (v1[:, None, 0] * r[..., 1] - v1[:, None, 1] * r[..., 0]) / det[:, None]
+    return jnp.stack([1.0 - l1 - l2, l1, l2], axis=-1)
+
+
+@dataclass
+class SimplexDGDiscretization:
+    """P1 SIPG convection-diffusion on unstructured triangle meshes.
+
+    The unstructured counterpart of :class:`DGDiscretization` (reference:
+    examples/convectiondiffusiondg.cc:36-60 runs DG on a UGGrid, i.e. an
+    unstructured-capable grid): faces are enumerated from ``ELEM_FACES``
+    instead of structured i/j families, and all per-face geometry (normals,
+    lengths, traces, constant P1 gradients) is batched over the full face
+    set at once.  Penalty length scale: ``h_perp = min(vol-, vol+)/|F|``
+    (PDELab's ConvectionDiffusionDG face-measure convention; equals the
+    perpendicular cell width on structured quads)."""
+
+    grid: Grid
+    problem: Problem
+    sigma: float = 4.0
+    n_comp: int = 1
+    definite: bool = False  # see DGDiscretization.definite
+
+    def __post_init__(self):
+        if self.grid.elem_type != "tri":
+            raise NotImplementedError(
+                "SimplexDGDiscretization supports triangle meshes"
+            )
+        g = self.grid
+        self.n_dofs = 3 * g.n_elems
+        self.quad = ElementQuadrature("tri")
+        self.xe = jnp.asarray(g.nodes[g.elems])
+        self._build_faces()
+        self._build_pattern()
+
+    # -- host topology/geometry ---------------------------------------------
+    def _build_faces(self):
+        g = self.grid
+        (em, lm, ep, lp), (eb, lb) = _match_faces(g.elems, "tri")
+        self.f_elems = (em.astype(np.int64), lm.astype(np.int64),
+                        ep.astype(np.int64), lp.astype(np.int64))
+        self.b_elems = (eb.astype(np.int64), lb.astype(np.int64))
+
+        faces = ELEM_FACES["tri"]
+        X = g.nodes[g.elems]  # (n_e, 3, 2)
+        v1 = X[:, 1] - X[:, 0]
+        v2 = X[:, 2] - X[:, 0]
+        self.vol = 0.5 * np.abs(v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0])
+        cent = X.mean(axis=1)
+
+        def face_geom(e, lf):
+            """(pa, pb, normal (outward from e), length) for faces (e, lf)."""
+            fa = np.array([faces[j][0] for j in lf])
+            fb = np.array([faces[j][1] for j in lf])
+            ga = g.elems[e, fa]
+            gb = g.elems[e, fb]
+            pa, pb = g.nodes[ga], g.nodes[gb]
+            t = pb - pa
+            L = np.linalg.norm(t, axis=1)
+            nrm = np.stack([t[:, 1], -t[:, 0]], axis=1) / L[:, None]
+            mid = 0.5 * (pa + pb)
+            flip = np.einsum("fd,fd->f", nrm, mid - cent[e]) < 0
+            nrm[flip] *= -1.0
+            return pa, pb, nrm, L
+
+        self.f_geom = face_geom(self.f_elems[0], self.f_elems[1])
+        self.b_geom = face_geom(self.b_elems[0], self.b_elems[1])
+
+    def dof_tuples(self) -> np.ndarray:
+        return (3 * np.arange(self.grid.n_elems)[:, None] + np.arange(3)).astype(
+            np.int64
+        )
+
+    def _face_dofs(self) -> np.ndarray:
+        d = self.dof_tuples()
+        em, _, ep, _ = self.f_elems
+        return np.concatenate([d[em], d[ep]], axis=1)  # (nf, 6)
+
+    def _build_pattern(self):
+        d = self.dof_tuples()
+        rows = [np.repeat(d, 3, 1).ravel()]
+        cols = [np.tile(d, (1, 3)).ravel()]
+        both = self._face_dofs()
+        rows.append(np.repeat(both, 6, 1).ravel())
+        cols.append(np.tile(both, (1, 6)).ravel())
+        self.pattern = EllPattern.from_coo(
+            np.concatenate(rows), np.concatenate(cols), self.n_dofs
+        )
+
+    def adjacency(self) -> sps.csr_matrix:
+        p = self.pattern
+        return sps.csr_matrix(
+            (np.ones(p.rows_csr.size), (p.rows_csr, p.cols_csr)),
+            shape=(self.n_dofs, self.n_dofs),
+        )
+
+    @cached_property
+    def dirichlet_mask(self) -> jnp.ndarray:
+        return jnp.zeros((self.n_dofs,), bool)  # weak BCs
+
+    @cached_property
+    def dirichlet_values(self) -> jnp.ndarray:
+        return jnp.zeros((self.n_dofs,))
+
+    @cached_property
+    def elem_centers(self) -> jnp.ndarray:
+        return jnp.asarray(self.grid.elem_centroids())
+
+    def node_coords_dg(self) -> np.ndarray:
+        return self.grid.nodes[self.grid.elems].reshape(-1, 2)
+
+    # -- constant P1 gradients ------------------------------------------------
+    @cached_property
+    def _grads(self) -> jnp.ndarray:
+        """(n_e, 3, 2) constant physical gradients of the P1 basis."""
+        X = self.xe
+        v1 = X[:, 1] - X[:, 0]
+        v2 = X[:, 2] - X[:, 0]
+        det = (v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0])[:, None]
+        g1 = jnp.stack([v2[:, 1], -v2[:, 0]], axis=1) / det
+        g2 = jnp.stack([-v1[:, 1], v1[:, 0]], axis=1) / det
+        return jnp.stack([-g1 - g2, g1, g2], axis=1)
+
+    # -- face kernels ----------------------------------------------------------
+    def _interior_face_blocks(self, p: Problem, alpha_c: jnp.ndarray):
+        """(nf, 6, 6) SIPG blocks over all interior faces at once."""
+        em, _, ep, _ = self.f_elems
+        pa, pb, nrm, L = self.f_geom
+        nf = em.shape[0]
+        pa, nrm, L = jnp.asarray(pa), jnp.asarray(nrm), jnp.asarray(L)
+        t = jnp.asarray(pb) - pa
+        pts = pa[:, None, :] + jnp.asarray(_QP)[None, :, None] * t[:, None, :]
+        w = jnp.asarray(_QW)[None, :] * L[:, None]  # (nf, q)
+
+        Tm = _barycentric(self.xe[em], pts)  # (nf, q, 3)
+        Tp = _barycentric(self.xe[ep], pts)
+        # face normal points OUT of the minus element (m -> p) by
+        # construction in _build_faces; grad.n on both sides uses it
+        Gm = jnp.einsum("fid,fd->fi", self._grads[em], nrm)  # (nf, 3)
+        Gp = jnp.einsum("fid,fd->fi", self._grads[ep], nrm)
+
+        dm = alpha_c[em][:, None]
+        dp = alpha_c[ep][:, None]
+        om = dp / (dm + dp)
+        op = dm / (dm + dp)
+        vol = jnp.asarray(self.vol)
+        h_perp = jnp.minimum(vol[em], vol[ep]) / L
+        gamma = self.sigma * (2 * dm * dp / (dm + dp))[:, :, None] / h_perp[:, None, None]
+
+        J = jnp.concatenate([Tm, -Tp], axis=2)  # (nf, q, 6)
+        F = jnp.concatenate(
+            [
+                jnp.broadcast_to((om * dm)[:, :, None] * Gm[:, None, :], Tm.shape),
+                jnp.broadcast_to((op * dp)[:, :, None] * Gp[:, None, :], Tp.shape),
+            ],
+            axis=2,
+        )
+        if p.b is not None:
+            bn = jnp.einsum("fqd,fd->fq", p.b(pts), nrm)
+        else:
+            bn = jnp.zeros(pts.shape[:2])
+        z = jnp.zeros_like(Tm)
+        up = jnp.where(
+            bn[:, :, None] >= 0,
+            jnp.concatenate([Tm, z], axis=2),
+            jnp.concatenate([z, Tp], axis=2),
+        )
+        K = (
+            -jnp.einsum("fq,fqb,fqa->fab", w, F, J)
+            - jnp.einsum("fq,fqa,fqb->fab", w, F, J)
+            + gamma[:, 0, 0, None, None]
+            * jnp.einsum("fq,fqa,fqb->fab", w, J, J)
+            + jnp.einsum("fq,fq,fqb,fqa->fab", bn, w, up, J)
+        )
+        return K
+
+    def _boundary_blocks(self, p: Problem, alpha_c: jnp.ndarray):
+        """(nb, 3, 3) Nitsche/outflow blocks + (nb, 3) rhs."""
+        eb, _ = self.b_elems
+        pa, pb, nrm, L = self.b_geom
+        pa, nrm, L = jnp.asarray(pa), jnp.asarray(nrm), jnp.asarray(L)
+        t = jnp.asarray(pb) - pa
+        pts = pa[:, None, :] + jnp.asarray(_QP)[None, :, None] * t[:, None, :]
+        w = jnp.asarray(_QW)[None, :] * L[:, None]
+
+        T = _barycentric(self.xe[eb], pts)  # (nb, q, 3)
+        G = jnp.einsum("fid,fd->fi", self._grads[eb], nrm)  # (nb, 3) outward
+        d = alpha_c[eb][:, None]  # (nb, 1)
+        vol = jnp.asarray(self.vol)
+        h_perp = vol[eb] / L
+        gamma = self.sigma * d / h_perp[:, None]
+        is_dir = p.is_dirichlet(pts)
+        gq = p.g(pts)
+        if p.b is not None:
+            bn = jnp.einsum("fqd,fd->fq", p.b(pts), nrm)
+        else:
+            bn = jnp.zeros(pts.shape[:2])
+        bn_pos = jnp.maximum(bn, 0.0)
+        bn_neg = jnp.minimum(bn, 0.0)
+        dirf = is_dir.astype(gq.dtype)
+
+        K = (
+            -jnp.einsum("fq,fq,fb,fqa->fab", dirf * d, w, G, T)
+            - jnp.einsum("fq,fq,fa,fqb->fab", dirf * d, w, G, T)
+            + jnp.einsum("fq,fq,fqa,fqb->fab", dirf * gamma, w, T, T)
+            + jnp.einsum("fq,fq,fqb,fqa->fab", bn_pos, w, T, T)
+        )
+        rhs = (
+            -jnp.einsum("fq,fq,fa->fa", dirf * d * gq, w, G)
+            + jnp.einsum("fq,fq,fqa->fa", dirf * gamma * gq, w, T)
+            - jnp.einsum("fq,fq,fqa->fa", dirf * bn_neg * gq, w, T)
+        )
+        return K, rhs
+
+    # -- assembly ---------------------------------------------------------------
+    def assemble_parts(self, problem: Problem | None = None):
+        p = problem or self.problem
+        alpha_c = p.alpha(self.elem_centers)
+        Ke, fe = assemble_convection_diffusion(
+            self.quad, self.xe, p.alpha, p.b, p.c, p.f,
+            convection_divergence_form=True,
+        )
+        b = jnp.zeros(self.n_dofs, Ke.dtype)
+        b = b.at[jnp.asarray(self.dof_tuples().reshape(-1))].add(fe.reshape(-1))
+        Kb, rb = self._boundary_blocks(p, alpha_c)
+        eb, _ = self.b_elems
+        Ke = Ke.at[jnp.asarray(eb)].add(Kb)
+        b = b.at[jnp.asarray(self.dof_tuples()[eb].reshape(-1))].add(rb.reshape(-1))
+        Kf = self._interior_face_blocks(p, alpha_c)
+        return Ke, Kf, b
+
+    def assemble(self, problem: Problem | None = None):
+        Ke, Kf, b = self.assemble_parts(problem)
+        coo = jnp.concatenate([Ke.reshape(-1), Kf.reshape(-1)])
+        A = self.pattern.assemble(coo)
+        return A, b
+
+    def constrained_system(self, problem=None):
+        A, b = self.assemble(problem)
+        return A, b, jnp.zeros_like(b)
+
+    def neumann_stamps(self, problem=None):
+        p = problem or self.problem
+        if getattr(p, "symmetric", True) is False:
+            p = p.symmetrized()
+        Ke, Kf, _ = self.assemble_parts(p)
+        return [(self.dof_tuples(), Ke), (self._face_dofs(), Kf)]

@@ -146,21 +146,97 @@ def structured_grid(
     else:
         raise ValueError("structured_grid supports dim 2 and 3")
     if simplex:
-        if dim != 2:
-            raise NotImplementedError("simplex splitting only in 2D")
         q = elems.astype(np.int64)
-        tris = np.concatenate([q[:, [0, 1, 3]], q[:, [0, 3, 2]]], axis=0)
-        return Grid(nodes=nodes, elems=tris, elem_type="tri", shape=None)
+        if dim == 2:
+            tris = np.concatenate([q[:, [0, 1, 3]], q[:, [0, 3, 2]]], axis=0)
+            return Grid(nodes=nodes, elems=tris, elem_type="tri", shape=None)
+        # 3D: Kuhn triangulation — 6 tets per cube, all sharing the main
+        # diagonal (corner 0 -> corner 7); conforming across cells.  This is
+        # what StructuredGridFactory::createSimplexGrid produces (used by
+        # the reference's 3D elasticity bar, linearelasticity.cc:42).
+        from itertools import permutations
+
+        tets = []
+        for perm in permutations(range(3)):
+            c = 0
+            path = [0]
+            for d in perm:
+                c |= 1 << d
+                path.append(c)
+            tets.append(q[:, path])
+        return Grid(
+            nodes=nodes, elems=np.concatenate(tets, axis=0),
+            elem_type="tet", shape=None,
+        )
     return Grid(nodes=nodes, elems=elems.astype(np.int64), elem_type=et, shape=cells)
 
 
 def refine(grid: Grid, times: int = 1) -> Grid:
-    """Uniform refinement (structured grids only for now)."""
+    """Uniform refinement.
+
+    Structured grids re-mesh at doubled resolution; unstructured simplex
+    grids (tri/tet) use edge-midpoint (red) refinement — the equivalent of
+    ``grid->globalRefine`` applied to GmshReader meshes in the reference
+    (examples/ddm_utilities.hh:86-89).
+    """
     if times == 0:
         return grid
-    if grid.shape is None:
-        raise NotImplementedError("refine currently requires a structured grid")
-    cells = tuple(c * (2**times) for c in grid.shape)
-    lo = tuple(grid.nodes.min(axis=0))
-    hi = tuple(grid.nodes.max(axis=0))
-    return structured_grid(cells, lo, hi)
+    if grid.shape is not None:
+        cells = tuple(c * (2**times) for c in grid.shape)
+        lo = tuple(grid.nodes.min(axis=0))
+        hi = tuple(grid.nodes.max(axis=0))
+        return structured_grid(cells, lo, hi)
+    if grid.elem_type not in ("tri", "tet"):
+        raise NotImplementedError(
+            f"unstructured refine supports tri/tet, not {grid.elem_type}"
+        )
+    for _ in range(times):
+        grid = _refine_simplex(grid)
+    return grid
+
+
+def _refine_simplex(grid: Grid) -> Grid:
+    """One round of red (edge-midpoint) refinement of a tri/tet mesh."""
+    elems = grid.elems
+    nodes = grid.nodes
+    n_nodes = nodes.shape[0]
+    if grid.elem_type == "tri":
+        pairs = ((0, 1), (1, 2), (0, 2))
+    else:
+        pairs = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    # unique edge midpoints
+    edges = np.stack(
+        [np.sort(elems[:, list(p)], axis=1) for p in pairs], axis=1
+    )  # (n_e, n_pairs, 2)
+    flat = edges.reshape(-1, 2)
+    uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+    mid_ids = (n_nodes + inv).reshape(elems.shape[0], len(pairs))
+    new_nodes = np.concatenate(
+        [nodes, 0.5 * (nodes[uniq[:, 0]] + nodes[uniq[:, 1]])], axis=0
+    )
+    v = elems
+    m = mid_ids
+    if grid.elem_type == "tri":
+        # m01=m[:,0], m12=m[:,1], m02=m[:,2]
+        children = [
+            np.stack([v[:, 0], m[:, 0], m[:, 2]], 1),
+            np.stack([m[:, 0], v[:, 1], m[:, 1]], 1),
+            np.stack([m[:, 2], m[:, 1], v[:, 2]], 1),
+            np.stack([m[:, 0], m[:, 1], m[:, 2]], 1),
+        ]
+    else:
+        # midpoints: m01,m02,m03,m12,m13,m23 — 4 corner tets + 4 from the
+        # inner octahedron split along the (m01, m23) diagonal (Bey's rule)
+        m01, m02, m03, m12, m13, m23 = (m[:, i] for i in range(6))
+        children = [
+            np.stack([v[:, 0], m01, m02, m03], 1),
+            np.stack([v[:, 1], m01, m12, m13], 1),
+            np.stack([v[:, 2], m02, m12, m23], 1),
+            np.stack([v[:, 3], m03, m13, m23], 1),
+            np.stack([m01, m02, m03, m13], 1),
+            np.stack([m01, m02, m12, m13], 1),
+            np.stack([m02, m03, m13, m23], 1),
+            np.stack([m02, m12, m13, m23], 1),
+        ]
+    new_elems = np.concatenate(children, axis=0).astype(np.int64)
+    return Grid(nodes=new_nodes, elems=new_elems, elem_type=grid.elem_type)

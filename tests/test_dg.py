@@ -111,3 +111,78 @@ def test_dg_geneo_two_level():
                       reduction=1e-8, maxit=300, restart=50)
     assert bool(res.converged)
     assert int(res.iterations) <= 120
+
+
+# ---------------------------------------------------------------------------
+# Unstructured simplex DG (P1 SIPG on triangles)
+# ---------------------------------------------------------------------------
+from ddm_tpu.fem.dg import SimplexDGDiscretization
+
+
+def test_simplex_dg_reproduces_linear_exactly():
+    """P1 SIPG consistency: u = x is in the DG space -> exact solution,
+    on an unstructured-path triangle mesh."""
+    grid = structured_grid((6, 6), simplex=True)
+    problem = prob.Problem(
+        g=lambda x: x[..., 0],
+        f=lambda x: jnp.zeros(x.shape[:-1]),
+    )
+    disc = SimplexDGDiscretization(grid, problem)
+    A, b, _ = disc.constrained_system()
+    u = spla.spsolve(disc.pattern.to_scipy(A).tocsc(), np.asarray(b))
+    np.testing.assert_allclose(u, disc.node_coords_dg()[:, 0], atol=1e-10)
+
+
+def test_simplex_dg_poisson_convergence():
+    errs = []
+    for nc in (8, 16):
+        grid = structured_grid((nc, nc), simplex=True)
+        problem = prob.Problem(
+            f=lambda x: 2 * np.pi**2
+            * jnp.sin(np.pi * x[..., 0]) * jnp.sin(np.pi * x[..., 1]),
+        )
+        disc = SimplexDGDiscretization(grid, problem)
+        A, b, _ = disc.constrained_system()
+        u = spla.spsolve(disc.pattern.to_scipy(A).tocsc(), np.asarray(b))
+        xy = disc.node_coords_dg()
+        exact = np.sin(np.pi * xy[:, 0]) * np.sin(np.pi * xy[:, 1])
+        errs.append(np.abs(u - exact).max())
+    assert errs[0] / errs[1] > 3.0, errs
+
+
+def test_simplex_dg_matches_scipy_and_symmetry():
+    """Pure-diffusion SIPG matrix must be symmetric; convection breaks it."""
+    grid = structured_grid((5, 7), simplex=True)
+    disc = SimplexDGDiscretization(grid, prob.Problem())
+    A, _, _ = disc.constrained_system()
+    Asp = disc.pattern.to_scipy(A)
+    assert abs(Asp - Asp.T).max() < 1e-12
+
+
+def test_dg_unstructured():
+    """Reference DG problem (convectiondiffusiondg.cc) on the unstructured
+    lshape.msh triangle mesh, solved with two-level GenEO-RAS GMRES."""
+    from ddm_tpu.api import DDMProblem, build_preconditioner, default_ptree
+    from ddm_tpu.fem.msh import read_msh
+
+    grid = read_msh("/root/reference/data/lshape.msh")
+    assert grid.elem_type == "tri"
+    disc = SimplexDGDiscretization(grid, prob.dg_heterogeneous())
+    A, b, _ = disc.constrained_system()
+    topo, _ = setup_topology(disc, overlap=2, n_sub=8)
+    pou = pou_weights(topo, "standard")
+
+    pt = default_ptree()
+    pt["coarsespace.type"] = "geneo"
+    pt["coarse_solver.type"] = "lu"
+    pt["geneo.eigensolver.nev"] = 4
+    p = DDMProblem(disc=disc, topo=topo, A=A, rhs=b, g=jnp.zeros_like(b),
+                   pou=pou, ptree=pt, elem_part=None, scale=None)
+    prec = build_preconditioner(p)
+    res = gmres_solve(operator_of(A), prec_of(prec), b, jnp.zeros_like(b),
+                      reduction=1e-8, maxit=300, restart=50)
+    assert bool(res.converged)
+    x_ref = spla.spsolve(disc.pattern.to_scipy(A).tocsc(), np.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(res.x), x_ref, atol=1e-5 * np.abs(x_ref).max()
+    )

@@ -84,3 +84,65 @@ def test_bar_two_level(cs):
                       restart=50)
     assert bool(res.converged), cs
     assert int(res.iterations) <= 80, (cs, int(res.iterations))
+
+
+def test_bar_simplex_tets_two_level_geneo():
+    """The reference's actual elasticity setup (linearelasticity.cc:40-43):
+    3D SIMPLEX bar (Kuhn tets from createSimplexGrid, [0,10]x[0,1]x[0,1.5]),
+    vector-P1, steel-rubber coefficients, clamped at x=0, GenEO + GMRES."""
+    grid = structured_grid((8, 2, 3), (0, 0, 0), (10.0, 1.0, 1.5), simplex=True)
+    assert grid.elem_type == "tet"
+    assert grid.n_elems == 8 * 2 * 3 * 6
+    ep = prob.steel_rubber_bar()
+    pt = default_ptree()
+    pt["solver.reduction"] = 1e-6
+    pt["coarsespace.type"] = "geneo"
+    pt["coarse_solver.type"] = "lu"
+    pt["geneo.eigensolver.nev"] = 8
+    p = setup_problem(pt, problem=ep, grid=grid, n_sub=4, n_comp=3)
+    prec = build_preconditioner(p)
+    res = gmres_solve(operator_of(p.A), prec_of(prec), p.rhs,
+                      jnp.zeros_like(p.rhs), reduction=1e-6, maxit=300,
+                      restart=50)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 100, int(res.iterations)
+    # solution matches a direct solve
+    from ddm_tpu.api import solution
+
+    u = solution(p, res)
+    Ac, rhs, g = p.disc.constrained_system()
+    u_ref = np.asarray(g) + spla.spsolve(
+        p.disc.pattern.to_scipy(Ac).tocsc(), np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(u), u_ref,
+                               atol=1e-4 * np.abs(u_ref).max())
+
+
+def test_elasticity_bar_msh():
+    """Elasticity on the shipped bar.msh (2D triangle bar [0,10]x[-1,1]):
+    vector-P1 on an unstructured simplex mesh, clamped at x=0, GenEO-RAS."""
+    from ddm_tpu.fem.msh import read_msh
+    from ddm_tpu.fem.problems import ElasticityProblem
+
+    grid = read_msh("/root/reference/data/bar.msh")
+    assert grid.elem_type == "tri"
+    ep = ElasticityProblem(
+        lam=lambda x: jnp.full(x.shape[:-1], 100.0),
+        mu=lambda x: jnp.full(x.shape[:-1], 10000.0),
+        f=lambda x: jnp.stack(
+            [jnp.zeros(x.shape[:-1]), jnp.full(x.shape[:-1], -9.81)], -1),
+        g=lambda x: jnp.zeros(x.shape[:-1] + (2,)),
+        is_dirichlet=lambda x: x[..., 0] < 1e-9,
+        name="bar2d",
+    )
+    pt = default_ptree()
+    pt["solver.reduction"] = 1e-6
+    pt["coarsespace.type"] = "geneo"
+    pt["coarse_solver.type"] = "lu"
+    pt["geneo.eigensolver.nev"] = 8
+    p = setup_problem(pt, problem=ep, grid=grid, n_sub=8, n_comp=2)
+    prec = build_preconditioner(p)
+    res = gmres_solve(operator_of(p.A), prec_of(prec), p.rhs,
+                      jnp.zeros_like(p.rhs), reduction=1e-6, maxit=300,
+                      restart=50)
+    assert bool(res.converged)
+    assert int(res.iterations) <= 100, int(res.iterations)

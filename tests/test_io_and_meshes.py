@@ -66,3 +66,44 @@ def test_tet_mesh_ddm_solve():
     res = solve(p)
     assert bool(res.converged)
     assert int(res.iterations) <= 60
+
+
+def test_refine_unstructured_tri():
+    """Edge-midpoint refinement of a triangle .msh mesh
+    (ddm_utilities.hh:86-89 globalRefine equivalent)."""
+    from ddm_tpu.fem.grids import Grid, refine, structured_grid
+
+    g = structured_grid((3, 3), simplex=True)
+    g = Grid(nodes=g.nodes, elems=g.elems, elem_type="tri")  # mark unstructured
+    r = refine(g, 1)
+    assert r.n_elems == 4 * g.n_elems
+    # area preserved
+    def area(grid):
+        X = grid.nodes[grid.elems]
+        v1, v2 = X[:, 1] - X[:, 0], X[:, 2] - X[:, 0]
+        return np.abs(v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]).sum() / 2
+    np.testing.assert_allclose(area(r), area(g))
+    # no duplicate nodes
+    assert np.unique(r.nodes, axis=0).shape[0] == r.nodes.shape[0]
+
+
+def test_refine_unstructured_tet():
+    """Bey's red refinement of tets: 8 children, volume preserved."""
+    from ddm_tpu.fem.grids import refine
+    from ddm_tpu.fem.msh import read_msh
+
+    g = read_msh("/root/reference/data/unitcube.msh")
+    assert g.elem_type == "tet"
+    r = refine(g, 1)
+    assert r.n_elems == 8 * g.n_elems
+
+    def vol(grid):
+        X = grid.nodes[grid.elems]
+        a, b, c = X[:, 1] - X[:, 0], X[:, 2] - X[:, 0], X[:, 3] - X[:, 0]
+        return np.abs(np.einsum("ed,ed->e", a, np.cross(b, c))).sum() / 6
+
+    np.testing.assert_allclose(vol(r), vol(g), rtol=1e-12)
+    # every child must have positive volume (no degenerate tets)
+    X = r.nodes[r.elems]
+    a, b, c = X[:, 1] - X[:, 0], X[:, 2] - X[:, 0], X[:, 3] - X[:, 0]
+    assert (np.abs(np.einsum("ed,ed->e", a, np.cross(b, c))) > 1e-14).all()
