@@ -80,6 +80,172 @@ def run_tpu(p, nev):
     return timings
 
 
+def _worker_main(conn, Asp, b_unused, sub_ids, sub_pou, A_neu_k, C_k, nev):
+    """One baseline worker = a chunk of 'MPI ranks': factor its subdomains,
+    solve its GEVPs, then serve preconditioner applies.  Mirrors the
+    reference's per-rank code (schwarz.hh solve + coarse restriction dots)."""
+    import numpy as np
+    import scipy.linalg as sla
+    import scipy.sparse.linalg as spla
+
+    t0 = time.perf_counter()
+    lus = [spla.splu(Asp[ids][:, ids].tocsc()) for ids in sub_ids]
+    t_factor = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    W = []
+    for k in range(len(sub_ids)):
+        Ak, Ck = A_neu_k[k], C_k[k]
+        eps = 1e-12 * max(np.abs(np.diag(Ak)).mean(), 1.0)
+        L = np.linalg.cholesky(Ak + eps * np.eye(Ak.shape[0]))
+        Linv = sla.solve_triangular(L, np.eye(Ak.shape[0]), lower=True)
+        S = Linv @ Ck @ Linv.T
+        mu, Wk = np.linalg.eigh(0.5 * (S + S.T))
+        vecs = Linv.T @ Wk[:, -nev:][:, ::-1]
+        w = sub_pou[k][:, None] * vecs
+        w = w / np.maximum(np.linalg.norm(w, axis=0), 1e-300)
+        W.append(w)
+    t_eig = time.perf_counter() - t0
+    conn.send(("setup", t_factor, t_eig))
+
+    while True:
+        msg = conn.recv()
+        if msg[0] == "apply":
+            d = msg[1]
+            n = d.shape[0]
+            x = np.zeros(n)
+            alpha = np.empty((len(sub_ids), nev))
+            for k, ids in enumerate(sub_ids):
+                dk = d[ids]
+                x[ids] += sub_pou[k] * lus[k].solve(dk)
+                alpha[k] = W[k].T @ dk
+            conn.send((x, alpha))
+        elif msg[0] == "prolong":
+            beta = msg[1]
+            n = msg[2]
+            x = np.zeros(n)
+            for k, ids in enumerate(sub_ids):
+                x[ids] += W[k] @ beta[k]
+            conn.send(x)
+        elif msg[0] == "basis":
+            conn.send([(ids, w) for ids, w in zip(sub_ids, W)])
+        else:
+            return
+
+
+def run_cpu_baseline_parallel(p, nev, n_workers=None):
+    """The reference's deployment model emulated honestly: subdomain work
+    (factorization, GEVPs, per-iteration solves + coarse dots) distributed
+    over worker PROCESSES like MPI ranks; the coarse solve serialized on the
+    master like the reference's rank-0 solve
+    (galerkin_preconditioner.hh:171-183)."""
+    import multiprocessing as mp
+
+    import scipy.sparse as sps
+    import scipy.sparse.linalg as spla
+
+    import jax.numpy as jnp
+    from ddm_tpu.coarse.geneo import neumann_matrices
+    from ddm_tpu.fem.subassembly import scale_matrix_with_pou
+
+    if n_workers is None:
+        n_workers = min(os.cpu_count() or 1, p.topo.n_sub)
+    Asp = p.disc.pattern.to_scipy(p.A).tocsc()
+    b = np.asarray(p.rhs)
+    topo = p.topo
+    n = Asp.shape[0]
+
+    A_neu_d, B_neu_d = neumann_matrices(p)
+    C_d = scale_matrix_with_pou(B_neu_d, jnp.asarray(p.pou))
+    A_neu = np.asarray(A_neu_d)
+    C = np.asarray(C_d)
+
+    # chunk subdomains over workers
+    chunks = np.array_split(np.arange(topo.n_sub), n_workers)
+    ctx = mp.get_context("fork")
+    conns, procs = [], []
+    t_wall0 = time.perf_counter()
+    for ch in chunks:
+        sub_ids, sub_pou, An_k, C_k = [], [], [], []
+        for k in ch:
+            loc = np.nonzero(topo.valid[k])[0]
+            ids = topo.sub2glob[k, loc].astype(np.int64)
+            sub_ids.append(ids)
+            sub_pou.append(np.asarray(p.pou[k, loc]))
+            An_k.append(A_neu[k][np.ix_(loc, loc)])
+            C_k.append(C[k][np.ix_(loc, loc)])
+        parent, child = ctx.Pipe()
+        proc = ctx.Process(
+            target=_worker_main,
+            args=(child, Asp, None, sub_ids, sub_pou, An_k, C_k, nev),
+        )
+        proc.start()
+        conns.append(parent)
+        procs.append(proc)
+    setup_times = [c.recv() for c in conns]
+    t_setup_wall = time.perf_counter() - t_wall0
+
+    # coarse matrix on master (rank-0 style)
+    t0 = time.perf_counter()
+    basis = []
+    for c in conns:
+        c.send(("basis",))
+    for c in conns:
+        basis.extend(c.recv())
+    nc = topo.n_sub * nev
+    R = sps.lil_matrix((nc, n))
+    for k, (ids, w) in enumerate(basis):
+        for j in range(nev):
+            R[k * nev + j, ids] = w[:, j]
+    R = R.tocsr()
+    E = (R @ Asp @ R.T).toarray()
+    from scipy.linalg import lu_factor, lu_solve
+
+    Elu = lu_factor(E)
+    t_coarse = time.perf_counter() - t0
+
+    def prec_apply(d):
+        for c in conns:
+            c.send(("apply", d))
+        x = np.zeros(n)
+        alphas = []
+        for c in conns:
+            xk, ak = c.recv()
+            x += xk
+            alphas.append(ak)
+        alpha = np.concatenate(alphas).reshape(-1)
+        beta = lu_solve(Elu, alpha).reshape(topo.n_sub, nev)
+        bsplit = np.array_split(beta, n_workers)
+        for c, bk in zip(conns, bsplit):
+            c.send(("prolong", bk, n))
+        for c in conns:
+            x += c.recv()
+        return x
+
+    M = spla.LinearOperator((n, n), matvec=prec_apply)
+    it = [0]
+    t0 = time.perf_counter()
+    x, info = spla.gmres(Asp, b, rtol=1e-8, atol=0.0, restart=50,
+                         maxiter=400, M=M,
+                         callback=lambda *_: it.__setitem__(0, it[0] + 1),
+                         callback_type="pr_norm")
+    t_solve = time.perf_counter() - t0
+    for c in conns:
+        c.send(("quit",))
+    for pr in procs:
+        pr.join(timeout=10)
+    out = {
+        "workers": n_workers,
+        "setup": t_setup_wall + t_coarse,
+        "coarse": t_coarse,
+        "solve": t_solve,
+        "iters": it[0],
+        "converged": info == 0,
+    }
+    log(f"cpu parallel baseline ({n_workers} workers): {out}")
+    return out
+
+
 def run_cpu_baseline(p, nev):
     import scipy.sparse as sps
     import scipy.sparse.linalg as spla
@@ -187,16 +353,24 @@ def main():
         f"n_sub={p.topo.n_sub} n_pad={p.topo.n_pad}")
 
     tpu = run_tpu(p, nev)
-    cpu = run_cpu_baseline(p, nev)
+    cpu_par = run_cpu_baseline_parallel(p, nev)
+    cpu_seq = run_cpu_baseline(p, nev)
 
     tpu_total = tpu["setup"] + tpu["solve"]
-    cpu_total = cpu["setup"] + cpu["solve"]
+    seq_total = cpu_seq["setup"] + cpu_seq["solve"]
+    par_total = cpu_par["setup"] + cpu_par["solve"]
+    log(f"TPU {tpu_total:.2f}s | CPU sequential {seq_total:.2f}s "
+        f"({seq_total / tpu_total:.2f}x) | CPU parallel "
+        f"({cpu_par['workers']} workers) {par_total:.2f}s "
+        f"({par_total / tpu_total:.2f}x)")
+    # vs_baseline reports against the PARALLEL CPU emulation — the honest
+    # stand-in for the reference's per-rank MPI deployment on this host
     print(json.dumps({
         "metric": f"poisson_islands_geneo_ras_{gridsize}x{gridsize}_"
                   f"{parts * parts}sub_setup_solve",
         "value": round(tpu_total, 4),
         "unit": "s",
-        "vs_baseline": round(cpu_total / tpu_total, 3),
+        "vs_baseline": round(par_total / tpu_total, 3),
     }))
 
 

@@ -245,6 +245,15 @@ def build_galerkin(
         E.block_until_ready()
     with scoped("GalerkinPrec", "factor A0"):
         coarse = factor_batched(E[None], solver_type)
+        if sub.get("precision", "f64") == "dd":
+            # double-single coarse apply (solvers/direct.py:dd_matvec) — the
+            # replicated coarse solve is a dense matvec per apply; dd keeps
+            # it on the f32 MXU path (f64 matmuls are emulated on TPU)
+            from ..solvers.direct import BatchedInverse, BatchedInverseDD, dd_split
+
+            if isinstance(coarse, BatchedInverse):
+                h, l = dd_split(coarse.inv)
+                coarse = BatchedInverseDD(inv_hi=h, inv_lo=l)
         jax.block_until_ready(jax.tree_util.tree_leaves(coarse))
     return GalerkinPreconditioner(
         sub2glob=s2g, V=basis.V, active=basis.active, coarse=coarse

@@ -104,24 +104,52 @@ def build_schwarz(
             )
         A_sub.block_until_ready()
     with scoped("Schwarz", "factorise"):
-        factors = chunked_batch(factor_batched_jit(solver_type), A_sub)
+        # reduced-precision applies need the explicit-inverse mode regardless
+        # of backend (on CPU the default is triangular factors); dd also
+        # switches the construction itself to the fast f32-seed + dd-Newton
+        # path (solvers/direct.py)
+        mode = "inverse" if precision in ("f32", "dd") else "auto"
+        sd = "dd" if precision == "dd" else None
+        factors = chunked_batch(
+            factor_batched_jit(solver_type, mode, store_dtype=sd), A_sub
+        )
         jax.block_until_ready(jax.tree_util.tree_leaves(factors))
-    if precision == "f32":
-        # f32 fast apply + exact-sparse f64 defect correction
-        # (solvers/direct.py:SparseRefinedInverse)
-        from ..solvers.direct import BatchedInverse, SparseRefinedInverse
+    if precision in ("f32", "dd"):
+        import dataclasses
 
-        if not isinstance(factors, BatchedInverse):
-            raise ValueError("precision=f32 requires the inverse mode (TPU)")
+        from ..solvers.direct import (
+            BatchedInverse,
+            BatchedInverseDD,
+            SparseRefinedInverse,
+        )
+
         rows = jnp.minimum(sub2glob_j, ell.n - 1)
         sub_vals = ell.vals[rows] * valid_j[:, :, None]
         sub_vals = jnp.where(local_cols_j >= topo.n_pad, 0.0, sub_vals)
-        factors = SparseRefinedInverse(
-            inv32=factors.inv.astype(jnp.float32),
-            sub_vals=sub_vals,
-            sub_cols=local_cols_j,
-            steps=int(solver_sub.get("refine_steps", 2)),
-        )
+        if precision == "dd":
+            # double-single apply: exact f64-grade operator representation,
+            # f32 MXU arithmetic (solvers/direct.py:BatchedInverseDD) —
+            # unlike the plain-f32 path, eps32*cond does NOT perturb the
+            # operator (CLAUDE.md failed-f32 analysis), only incoherent
+            # ~1e-6 accumulation noise remains per apply; an optional exact
+            # sparse-f64 defect-correction step squashes even that.
+            if not isinstance(factors, BatchedInverseDD):
+                raise ValueError("precision=dd requires the inverse mode")
+            factors = dataclasses.replace(
+                factors, sub_vals=sub_vals, sub_cols=local_cols_j,
+                steps=int(solver_sub.get("refine_steps", 1)),
+            )
+        else:
+            # f32 fast apply + exact-sparse f64 defect correction
+            # (solvers/direct.py:SparseRefinedInverse)
+            if not isinstance(factors, BatchedInverse):
+                raise ValueError("precision=f32 requires the inverse mode")
+            factors = SparseRefinedInverse(
+                inv32=factors.inv.astype(jnp.float32),
+                sub_vals=sub_vals,
+                sub_cols=local_cols_j,
+                steps=int(solver_sub.get("refine_steps", 2)),
+            )
 
     if type_string == "restricted":
         if pou is None:

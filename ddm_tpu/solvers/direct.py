@@ -114,6 +114,81 @@ class BatchedInverse:
         return out.astype(b.dtype)
 
 
+def dd_split(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Split f64 into a double-single (hi, lo) f32 pair: hi + lo == a to
+    ~2^-48 relative — an (effectively) exact representation, unlike a plain
+    f32 cast (whose eps32·cond representation error is what made the f32
+    fine-level apply stall; see CLAUDE.md failed experiments)."""
+    hi = a.astype(jnp.float32)
+    lo = (a - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def dd_matmul(Ah, Al, Bh, Bl, eq: str = "spq,sqr->spr") -> jnp.ndarray:
+    """(Ah+Al) @ (Bh+Bl) via three f32 MXU matmuls, combined in f64.
+
+    The O(eps32^2) Al@Bl term is dropped (below the f32-accumulation noise).
+    This is the TPU-fast building block for setup-time f64-grade batched
+    matmuls (Newton refinement of inverses, congruence transforms): f64
+    matmuls are software-emulated on v5e at ~2% of f32 throughput.
+    """
+    t0 = jnp.einsum(eq, Ah, Bh)
+    t1 = jnp.einsum(eq, Al, Bh) + jnp.einsum(eq, Ah, Bl)
+    return t0.astype(jnp.float64) + t1.astype(jnp.float64)
+
+
+def dd_matvec(hi: jnp.ndarray, lo: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    """y = (hi+lo) @ d via three f32 MXU matvecs, combined in f64.
+
+    d: (n_sub, p) or (n_sub, p, k) f64.  Per-apply arithmetic noise is the
+    f32 accumulation of the MXU (~1e-6 relative, incoherent between applies);
+    the operator itself is represented to ~2^-48.  The TPU-fast replacement
+    of the f64-emulated matmul (~30-50x cheaper on v5e, where f64 matmuls
+    are software-emulated)."""
+    dh = d.astype(jnp.float32)
+    dl = (d - dh.astype(jnp.float64)).astype(jnp.float32)
+    if d.ndim == 2:
+        eq = "spq,sq->sp"
+    else:
+        eq = "spq,sqk->spk"
+    y0 = jnp.einsum(eq, hi, dh)
+    y1 = jnp.einsum(eq, lo, dh) + jnp.einsum(eq, hi, dl)
+    return y0.astype(jnp.float64) + y1.astype(jnp.float64)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BatchedInverseDD:
+    """Explicit subdomain inverses in double-single storage: f64-grade
+    operator representation, f32 MXU arithmetic (see :func:`dd_matvec`).
+
+    Optional exact sparse-f64 defect correction (``sub_vals/sub_cols`` as in
+    :class:`SparseRefinedInverse`) squashes the residual f32 accumulation
+    noise coherently; ``steps=0`` disables it."""
+
+    inv_hi: jnp.ndarray  # (n_sub, p, p) float32
+    inv_lo: jnp.ndarray  # (n_sub, p, p) float32
+    sub_vals: jnp.ndarray | None = None  # (n_sub, p, m) f64 sparse rows
+    sub_cols: jnp.ndarray | None = None  # (n_sub, p, m) int32, dummy == p
+    steps: int = field(default=0, metadata=dict(static=True))
+
+    def _amul(self, x: jnp.ndarray) -> jnp.ndarray:
+        n_sub, p = x.shape
+        pad = jnp.concatenate([x, jnp.zeros((n_sub, 1), x.dtype)], axis=1)
+        xs = jnp.take_along_axis(
+            pad, self.sub_cols.reshape(n_sub, -1), axis=1
+        ).reshape(self.sub_cols.shape)
+        return (self.sub_vals * xs).sum(axis=2)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        x = dd_matvec(self.inv_hi, self.inv_lo, b)
+        if self.steps and b.ndim == 2:
+            for _ in range(self.steps):
+                r = b - self._amul(x)
+                x = x + dd_matvec(self.inv_hi, self.inv_lo, r)
+        return x
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class SparseRefinedInverse:
@@ -285,6 +360,19 @@ def factor_batched(
         mode = "factors" if on_cpu else "inverse"
     if refine_steps is None:
         refine_steps = 0 if on_cpu else 1
+    def _pack_inverse(inv):
+        if store_dtype == "dd":
+            h, l = dd_split(inv)
+            return BatchedInverseDD(inv_hi=h, inv_lo=l)
+        if store_dtype is not None:
+            inv = inv.astype(store_dtype)
+        return BatchedInverse(inv=inv)
+
+    # NOTE: constructing the inverse ITSELF in dd arithmetic (f32 triangular
+    # seed + dd Newton) was tried and FAILS for high-contrast subdomains:
+    # any eps-precision construction floors at ||I - A X|| ~ eps_dd * cond
+    # with eps_dd ~ 3e-7 (f32 MXU accumulation), which is O(1) at cond 1e7.
+    # Construction stays f64; only the APPLY uses dd (store_dtype="dd").
     if st == "cholesky":
         chol = jnp.linalg.cholesky(A)
         if mode == "inverse":
@@ -294,9 +382,7 @@ def factor_batched(
             )
             inv = jnp.einsum("sqp,sqr->spr", linv, linv)  # L^{-T} L^{-1}
             inv = _newton_refine(A, inv, refine_steps)
-            if store_dtype is not None:
-                inv = inv.astype(store_dtype)
-            return BatchedInverse(inv=inv)
+            return _pack_inverse(inv)
         return BatchedCholesky(chol=chol)
     if st == "qr":
         q, r = jnp.linalg.qr(A)
@@ -307,9 +393,7 @@ def factor_batched(
             )
             inv = jnp.einsum("spq,srq->spr", rinv, q)  # R^{-1} Q^T
             inv = _newton_refine(A, inv, refine_steps)
-            if store_dtype is not None:
-                inv = inv.astype(store_dtype)
-            return BatchedInverse(inv=inv)
+            return _pack_inverse(inv)
         return BatchedQR(q=q, r=r)
     lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(A)
     return BatchedLU(lu=lu, piv=piv)

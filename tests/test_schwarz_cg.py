@@ -133,3 +133,60 @@ def test_history_is_monotone_overall():
     h = np.asarray(res.history)
     h = h[~np.isnan(h)]
     assert h[-1] < 1e-10 * h[0]
+
+
+def test_dd_apply_matches_f64():
+    """Double-single (dd) subdomain apply: the stored operator hi+lo equals
+    the f64 inverse to ~2^-48; the apply result matches the f64 apply to
+    f32-accumulation noise."""
+    import jax.numpy as jnp
+    from ddm_tpu.solvers.direct import (
+        BatchedInverseDD, dd_split, factor_batched,
+    )
+
+    rng = np.random.default_rng(3)
+    A = jnp.asarray(rng.standard_normal((4, 40, 40)))
+    A = jnp.einsum("spq,srq->spr", A, A) + 40 * jnp.eye(40)[None]
+    f64 = factor_batched(A, "cholesky", mode="inverse")
+    h, l = dd_split(f64.inv)
+    # representation exactness
+    np.testing.assert_allclose(
+        np.asarray(h.astype(jnp.float64) + l.astype(jnp.float64)),
+        np.asarray(f64.inv), rtol=3e-15, atol=0,
+    )
+    dd = BatchedInverseDD(inv_hi=h, inv_lo=l)
+    b = jnp.asarray(rng.standard_normal((4, 40)))
+    x64 = f64.solve(b)
+    xdd = dd.solve(b)
+    err = float(jnp.abs(xdd - x64).max() / jnp.abs(x64).max())
+    assert err < 1e-5, err
+
+
+def test_two_level_dd_precision_converges_like_f64():
+    """GenEO-RAS with schwarz precision=dd: same convergence target reached,
+    iteration count within 2 of the f64 run (the dd apply is an effectively
+    exact operator with incoherent ~1e-6 noise — unlike the plain-f32 path,
+    which stalls on high-contrast problems)."""
+    import jax.numpy as jnp
+    from ddm_tpu.api import (
+        build_preconditioner, default_ptree, setup_problem, solve,
+    )
+    from ddm_tpu.fem import problems as prob
+
+    pt = default_ptree()
+    pt["gridsize"] = 48
+    pt["solver.reduction"] = 1e-8
+    pt["coarsespace.type"] = "geneo"
+    pt["coarse_solver.type"] = "cholesky"
+    pt["geneo.eigensolver.nev"] = 6
+    p = setup_problem(pt, problem=prob.islands(), parts=(4, 4))
+    res64 = solve(p)
+    assert bool(res64.converged)
+
+    pt["schwarz.subdomain_solver.precision"] = "dd"
+    pt["coarse_solver.precision"] = "dd"
+    prec = build_preconditioner(p)
+    res_dd = solve(p, prec=prec)
+    assert bool(res_dd.converged)
+    assert abs(int(res_dd.iterations) - int(res64.iterations)) <= 2, (
+        int(res_dd.iterations), int(res64.iterations))
