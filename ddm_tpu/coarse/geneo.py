@@ -94,7 +94,7 @@ def dirichlet_dense(p):
     from ..precond.extract import extract_subdomain_dense
 
     topo = p.topo
-    lc = extraction_map(topo, np.asarray(p.A.cols))
+    lc = extraction_map(topo, np.asarray(p.A.colsT).T)
     A_dir = extract_subdomain_dense(
         p.A, jnp.asarray(topo.sub2glob), jnp.asarray(topo.valid), jnp.asarray(lc)
     )
@@ -136,7 +136,7 @@ def algebraic_neumann(p):
 
     topo = p.topo
     ell = p.A
-    lc = extraction_map(topo, np.asarray(ell.cols))
+    lc = extraction_map(topo, np.asarray(ell.colsT).T)
     A_dir = extract_subdomain_dense(
         ell, jnp.asarray(topo.sub2glob), jnp.asarray(topo.valid), jnp.asarray(lc)
     )
@@ -144,7 +144,8 @@ def algebraic_neumann(p):
     # in-subdomain |row|
     n = ell.n
     rows = jnp.minimum(jnp.asarray(topo.sub2glob), n - 1)
-    abs_vals = jnp.abs(ell.vals)[rows]  # (n_sub, n_pad, m)
+    row_vals, _ = ell.rows_dense_gather(rows)  # (n_sub, n_pad, m)
+    abs_vals = jnp.abs(row_vals)
     total = abs_vals.sum(axis=2)
     inside = jnp.abs(A_dir).sum(axis=2)
     # the diagonal appears in both; difference = off-subdomain couplings

@@ -56,7 +56,7 @@ def geneo_ring_coarse_space(p, ptree: ParamTree):
     params = EigensolverParams.from_ptree(ptree.sub("geneo_ring.eigensolver"))
     pou = jnp.asarray(p.pou)
     valid = topo.valid
-    local_cols = extraction_map(topo, np.asarray(p.A.cols))
+    local_cols = extraction_map(topo, np.asarray(p.A.colsT).T)
 
     ring = valid & (topo.bdist <= 2 * topo.overlap + 1)
     not_ring = valid & ~ring

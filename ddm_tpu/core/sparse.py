@@ -1,4 +1,4 @@
-"""HBM-resident sparse matrices in padded ELL format.
+"""HBM-resident sparse matrices in padded ELL format (transposed layout).
 
 Replaces DUNE-ISTL's ``BCRSMatrix`` (reference: used throughout, see SURVEY.md
 §2.5).  On TPU, compressed-row storage with ragged rows defeats XLA's static
@@ -7,11 +7,18 @@ shapes, so the global operator is stored as **padded ELL**: every row holds
 ``n_rows`` with value 0.  SpMV is then a dense gather + reduction — fully
 vectorizable on the VPU with no dynamic shapes.
 
+Layout: the device arrays are stored TRANSPOSED, shape ``(m, n)`` — slot-major
+rather than row-major.  TPU vector units operate on (sublane, 128-lane) tiles;
+an (n, m) gather/multiply with m ~ 9 wastes >90% of every tile and measured
+~40 ms per SpMV at n = 148k, while the (m, n) layout keeps the minor dimension
+lane-friendly and runs at memory bandwidth (~1 ms).  Same data, same math —
+only the axis order differs.
+
 The host-side :class:`EllPattern` is built once per sparsity pattern and maps
-each element-assembly COO entry to its flat ELL slot, so (re-)assembly on
-device is a single ``scatter-add`` — this is what makes Newton re-assembly
-(reference: twolevel_schwarz.hh:99-104 value re-add with reused symbolics)
-a pure device op here.
+each element-assembly COO entry to its flat transposed ELL slot, so
+(re-)assembly on device is a single ``scatter-add`` — this is what makes
+Newton re-assembly (reference: twolevel_schwarz.hh:99-104 value re-add with
+reused symbolics) a pure device op here.
 """
 
 from __future__ import annotations
@@ -26,35 +33,42 @@ import numpy as np
 @jax.tree_util.register_dataclass
 @dataclass
 class SparseELL:
-    """Device sparse matrix, padded ELL layout.
+    """Device sparse matrix, padded ELL layout, slot-major (transposed).
 
-    cols: (n, m) int32, padding slots == n (dummy column)
-    vals: (n, m) float
+    colsT: (m, n) int32, padding slots == n (dummy column)
+    valsT: (m, n) float
     """
 
-    cols: jnp.ndarray
-    vals: jnp.ndarray
+    colsT: jnp.ndarray
+    valsT: jnp.ndarray
 
     @property
     def n(self) -> int:
-        return self.cols.shape[0]
+        return self.colsT.shape[1]
 
     @property
     def m(self) -> int:
-        return self.cols.shape[1]
+        return self.colsT.shape[0]
 
     def mv(self, x: jnp.ndarray) -> jnp.ndarray:
         """y = A @ x.  x: (n,) or (n, k)."""
         if x.ndim == 1:
             xp = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-            return (self.vals * xp[self.cols]).sum(axis=1)
+            return (self.valsT * xp[self.colsT]).sum(axis=0)
         xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
-        # (n, m, k) gather; contract over m
-        return jnp.einsum("nm,nmk->nk", self.vals, xp[self.cols])
+        # (m, n, k) gather; contract over m
+        return jnp.einsum("mn,mnk->nk", self.valsT, xp[self.colsT])
 
     def diagonal(self) -> jnp.ndarray:
-        row = jnp.arange(self.n)[:, None]
-        return jnp.where(self.cols == row, self.vals, 0.0).sum(axis=1)
+        row = jnp.arange(self.n)[None, :]
+        return jnp.where(self.colsT == row, self.valsT, 0.0).sum(axis=0)
+
+    def rows_dense_gather(self, rows: jnp.ndarray):
+        """(vals, cols) of the given global rows, row-major:
+        rows (...,) -> vals/cols (..., m).  Used by subdomain extraction."""
+        vals = jnp.moveaxis(self.valsT[:, rows], 0, -1)
+        cols = jnp.moveaxis(self.colsT[:, rows], 0, -1)
+        return vals, cols
 
 
 @dataclass
@@ -65,9 +79,9 @@ class EllPattern:
     ----------
     n : matrix size
     m : padded row width (max nnz per row)
-    cols : (n, m) int32 column ids, padding == n
-    coo2slot : (n_coo,) int64 — flat ELL slot (row*m + pos) for each COO entry
-               passed to :meth:`from_coo`, in the original COO order.
+    cols : (n, m) int32 column ids, padding == n  (host, row-major view)
+    coo2slot : (n_coo,) int64 — flat TRANSPOSED ELL slot (pos*n + row) for
+               each COO entry passed to :meth:`from_coo`, in original order.
     """
 
     n: int
@@ -76,7 +90,7 @@ class EllPattern:
     coo2slot: np.ndarray
     rows_csr: np.ndarray  # (nnz,) unique-entry row ids (CSR order)
     cols_csr: np.ndarray  # (nnz,) unique-entry col ids (CSR order)
-    slot_csr: np.ndarray  # (nnz,) ELL slot of each unique entry
+    slot_csr: np.ndarray  # (nnz,) transposed ELL slot of each unique entry
 
     @staticmethod
     def from_coo(rows: np.ndarray, cols: np.ndarray, n: int) -> "EllPattern":
@@ -91,9 +105,9 @@ class EllPattern:
         row_start = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(row_nnz, out=row_start[1:])
         pos_in_row = np.arange(uniq.size) - row_start[urows]
-        slot = urows * m + pos_in_row
+        slot = pos_in_row * n + urows  # transposed flat slot
         ell_cols = np.full((n, m), n, dtype=np.int32)
-        ell_cols.reshape(-1)[slot] = ucols
+        ell_cols[urows, pos_in_row] = ucols
         return EllPattern(
             n=n,
             m=m,
@@ -107,9 +121,11 @@ class EllPattern:
     # -- device-side assembly ------------------------------------------------
     def assemble(self, coo_vals: jnp.ndarray) -> SparseELL:
         """Scatter-add COO values (in from_coo order) into a SparseELL."""
-        flat = jnp.zeros((self.n * self.m,), coo_vals.dtype)
+        flat = jnp.zeros((self.m * self.n,), coo_vals.dtype)
         flat = flat.at[jnp.asarray(self.coo2slot)].add(coo_vals.reshape(-1))
-        return SparseELL(cols=jnp.asarray(self.cols), vals=flat.reshape(self.n, self.m))
+        return SparseELL(
+            colsT=jnp.asarray(self.cols.T), valsT=flat.reshape(self.m, self.n)
+        )
 
     def from_scipy_vals(self, sp_csr) -> SparseELL:
         """Build a SparseELL carrying the values of a scipy CSR matrix with
@@ -117,14 +133,17 @@ class EllPattern:
         import scipy.sparse as sps
 
         a = sps.csr_matrix(sp_csr)
-        vals = np.zeros((self.n * self.m,))
+        vals = np.zeros((self.m * self.n,))
         vals[self.slot_csr] = np.asarray(a[self.rows_csr, self.cols_csr]).ravel()
-        return SparseELL(cols=jnp.asarray(self.cols), vals=jnp.asarray(vals.reshape(self.n, self.m)))
+        return SparseELL(
+            colsT=jnp.asarray(self.cols.T),
+            valsT=jnp.asarray(vals.reshape(self.m, self.n)),
+        )
 
     def to_scipy(self, ell: SparseELL):
         import scipy.sparse as sps
 
-        vals = np.asarray(ell.vals).reshape(-1)[self.slot_csr]
+        vals = np.asarray(ell.valsT).reshape(-1)[self.slot_csr]
         return sps.csr_matrix(
             (vals, (self.rows_csr, self.cols_csr)), shape=(self.n, self.n)
         )
@@ -144,8 +163,8 @@ def jacobi_equilibrate(ell: SparseELL, b: jnp.ndarray):
     diag = ell.diagonal()
     scale = jnp.where(diag > 0, 1.0 / jnp.sqrt(jnp.abs(diag)), 1.0)
     sp = jnp.concatenate([scale, jnp.zeros((1,), scale.dtype)])
-    vals = ell.vals * scale[:, None] * sp[ell.cols]
-    return SparseELL(cols=ell.cols, vals=vals), b * scale, scale
+    valsT = ell.valsT * scale[None, :] * sp[ell.colsT]
+    return SparseELL(colsT=ell.colsT, valsT=valsT), b * scale, scale
 
 
 def eliminate_dirichlet(
@@ -160,12 +179,11 @@ def eliminate_dirichlet(
     n = ell.n
     d = dmask.astype(bool)
     dp = jnp.concatenate([d, jnp.zeros((1,), bool)])  # padding col never dirichlet
-    row = jnp.arange(n)[:, None]
-    row_d = d[:, None]
-    col_d = dp[ell.cols]
-    is_diag = ell.cols == row
-    vals = ell.vals
-    vals = jnp.where(row_d, jnp.where(is_diag, 1.0, 0.0), vals)
+    row_d = d[None, :]
+    col_d = dp[ell.colsT]
+    is_diag = ell.colsT == jnp.arange(n)[None, :]
+    valsT = ell.valsT
+    valsT = jnp.where(row_d, jnp.where(is_diag, 1.0, 0.0), valsT)
     if symmetric:
-        vals = jnp.where(~row_d & col_d, 0.0, vals)
-    return SparseELL(cols=ell.cols, vals=vals)
+        valsT = jnp.where(~row_d & col_d, 0.0, valsT)
+    return SparseELL(colsT=ell.colsT, valsT=valsT)

@@ -57,7 +57,7 @@ def main(argv=None):
                           shrink=ptree.sub("pou").get("shrink", 0))
         p = DDMProblem(disc=disc, topo=topo, A=A, rhs=b, g=g, pou=pou,
                        ptree=ptree, elem_part=elem_part, scale=None)
-        jax.block_until_ready(A.vals)
+        jax.block_until_ready(A.valsT)
 
     with scoped("Driver", "Setup preconditioner"):
         prec = build_preconditioner(p)

@@ -40,7 +40,7 @@ def main(argv=None):
         p = setup_problem(ptree, problem=steel_rubber_bar(), grid=grid,
                           parts=(ptree.get("subdomains_x", 4), 1, 1),
                           n_comp=3)
-        jax.block_until_ready(p.A.vals)
+        jax.block_until_ready(p.A.valsT)
 
     with scoped("Driver", "Setup preconditioner"):
         prec = build_preconditioner(p)

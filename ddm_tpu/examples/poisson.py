@@ -36,7 +36,7 @@ def run(ptree: ParamTree, problem=None):
 
     with scoped("Driver", "Setup problem"):
         p = setup_problem(ptree, problem=problem)
-        jax.block_until_ready(p.A.vals)
+        jax.block_until_ready(p.A.valsT)
 
     with scoped("Driver", "Setup preconditioner"):
         prec = build_preconditioner(p)

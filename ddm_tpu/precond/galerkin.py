@@ -144,6 +144,71 @@ def galerkin_coarse_matrix_sharded(
     return _mask_inactive(E, active_all)
 
 
+def galerkin_coarse_matrix_pairs(
+    A_sub: jnp.ndarray,
+    topo,
+    basis: CoarseBasis,
+) -> jnp.ndarray:
+    """Pairwise-local coarse matrix — the TPU formulation of the reference's
+    neighbor-pair dot products (galerkin_preconditioner.hh:279-328):
+
+        E[(i,k),(j,l)] = v_ik^T A^(i) v_jl
+
+    over the overlapping subdomain pairs (i, j) only, with A^(i) the dense
+    extracted subdomain matrix.  EXACT equal to the true Galerkin product
+    v_ik^T A v_jl whenever the basis vanishes on subdomain boundaries (every
+    POU-finalized coarse space does — same argument as the reference's):
+    the couplings extraction drops, (p in S_i, q outside S_i), only touch
+    rows p on the graph boundary of S_i where v_ik = 0.
+
+    Replaces the n_sub-step scan of global SpMVs (~40 ms/step on TPU) with
+    ONE batched narrow matmul + one pair-batched gather/einsum (~100x).
+    """
+    import numpy as npidx  # noqa: F401  (keep numpy import local name clear)
+
+    n_sub, nev, n_pad = basis.V.shape
+    # W[i] = A^(i) V_i^T : (n_sub, n_pad, nev), narrow f64 matmul
+    W = jnp.einsum("spq,skq->spk", A_sub, basis.V)
+
+    # host: overlapping pairs + index maps (j-local position of i's dofs)
+    # (int32: intersection sizes overflow int8 — a 16x16 overlap region is
+    # exactly 256 dofs and wrapped the self-pair count to zero)
+    M = topo.membership.astype(np.int32)
+    inter = (M @ M.T).tocoo()
+    pi = inter.row.astype(np.int64)
+    pj = inter.col.astype(np.int64)
+    # j-local index of subdomain i's p-th dof (n_pairs, n_pad), n_pad = absent
+    rows = np.minimum(topo.sub2glob[pi], topo.n_glob)  # (n_pairs, n_pad)
+    m_pair = np.take_along_axis(topo.glob2loc[pj], rows, axis=1)
+    m_pair = np.where((m_pair < 0) | ~topo.valid[pi], n_pad, m_pair)
+
+    # gather v_jl onto i's local numbering: (n_pairs, nev, n_pad)
+    Vpad = jnp.concatenate(
+        [basis.V, jnp.zeros((n_sub, nev, 1), basis.V.dtype)], axis=2
+    )
+    pj_j = jnp.asarray(pi * 0 + pj)  # (n_pairs,)
+    Vj_on_i = Vpad[
+        pj_j[:, None, None],
+        jnp.arange(nev)[None, :, None],
+        jnp.asarray(m_pair.astype(np.int32))[:, None, :],
+    ]
+    # blocks: E_pair[x, k, l] = sum_p (A^(i) v_ik)[p] * v_jl[p]
+    #                         = v_jl^T A v_ik  ->  E[(j,l), (i,k)]
+    E_pair = jnp.einsum("xpk,xlp->xkl", W[jnp.asarray(pi)], Vj_on_i)
+
+    # assemble into (n_c, n_c); pair blocks are disjoint -> add == set
+    nc = n_sub * nev
+    rows_idx = (pj[:, None, None] * nev + np.arange(nev)[None, None, :])
+    cols_idx = (pi[:, None, None] * nev + np.arange(nev)[None, :, None])
+    shp = (pi.size, nev, nev)
+    E = jnp.zeros((nc, nc), basis.V.dtype)
+    E = E.at[
+        jnp.asarray(np.broadcast_to(rows_idx, shp).reshape(-1)),
+        jnp.asarray(np.broadcast_to(cols_idx, shp).reshape(-1)),
+    ].add(E_pair.reshape(-1))
+    return E
+
+
 def galerkin_coarse_matrix_local(
     A_sub: jnp.ndarray,
     sub2glob: jnp.ndarray,
@@ -188,6 +253,8 @@ class GalerkinPreconditioner:
     active: jnp.ndarray  # (n_sub, nev_max)
     coarse: object  # factorization with .solve((1, n_c) or (1, n_c, k))
     axis: str | None = field(default=None, metadata=dict(static=True))
+    # (K, n) gather-dual of the scatter (unsharded path only)
+    dualT: jnp.ndarray | None = None
 
     def apply(self, d: jnp.ndarray) -> jnp.ndarray:
         n = d.shape[0]
@@ -206,7 +273,8 @@ class GalerkinPreconditioner:
         else:
             beta = self.coarse.solve(alpha.reshape(1, -1))[0].reshape(n_sub, nev)
         x_sub = jnp.einsum("skp,sk->sp", self.V, beta)  # prolongation
-        x = scatter_add_subdomain(x_sub, self.sub2glob, n)
+        dualT = self.dualT if self.axis is None else None
+        x = scatter_add_subdomain(x_sub, self.sub2glob, n, dualT=dualT)
         if self.axis is not None:
             x = jax.lax.psum(x, self.axis)
         return x
@@ -233,7 +301,19 @@ def build_galerkin(
 
     s2g = jnp.asarray(topo.sub2glob)
     with scoped("GalerkinPrec", "build Matrix"):
-        if method == "global":
+        if method == "pairs":
+            # production fast path (see galerkin_coarse_matrix_pairs):
+            # exact for POU-finalized bases; ~100x the scan formulation
+            if A_sub is None:
+                from ..core.indexmaps import extraction_map
+                from .extract import extract_subdomain_dense
+
+                lc = extraction_map(topo, np.asarray(ell.colsT).T)
+                A_sub = extract_subdomain_dense(
+                    ell, s2g, jnp.asarray(topo.valid), jnp.asarray(lc)
+                )
+            E = galerkin_coarse_matrix_pairs(A_sub, topo, basis)
+        elif method == "global":
             E = galerkin_coarse_matrix(ell, s2g, basis)
         elif method == "local":
             if A_sub is None:
@@ -255,6 +335,9 @@ def build_galerkin(
                 h, l = dd_split(coarse.inv)
                 coarse = BatchedInverseDD(inv_hi=h, inv_lo=l)
         jax.block_until_ready(jax.tree_util.tree_leaves(coarse))
+    from ..core.indexmaps import dual_scatter_map
+
     return GalerkinPreconditioner(
-        sub2glob=s2g, V=basis.V, active=basis.active, coarse=coarse
+        sub2glob=s2g, V=basis.V, active=basis.active, coarse=coarse,
+        dualT=jnp.asarray(dual_scatter_map(topo)),
     )

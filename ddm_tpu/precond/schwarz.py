@@ -44,13 +44,17 @@ class SchwarzPreconditioner:
     # mesh axis, the scatter-add only sums the device-local subdomains; `axis`
     # names the mesh axis to psum over (the ICI halo reduction of SURVEY §5.8)
     axis: str | None = field(default=None, metadata=dict(static=True))
+    # (K, n) gather-dual of the scatter (indexmaps.dual_scatter_map); its flat
+    # indices address the FULL subdomain batch, so it only applies unsharded
+    dualT: jnp.ndarray | None = None
 
     def apply(self, d: jnp.ndarray) -> jnp.ndarray:
         n = d.shape[0]
         d_sub = gather_subdomain(d, self.sub2glob)
         x_sub = self.factors.solve(d_sub)
         x_sub = jnp.where(self.valid, x_sub * self.pou, 0.0)
-        x = scatter_add_subdomain(x_sub, self.sub2glob, n)
+        dualT = self.dualT if self.axis is None else None
+        x = scatter_add_subdomain(x_sub, self.sub2glob, n, dualT=dualT)
         if self.axis is not None:
             x = jax.lax.psum(x, self.axis)
         return x
@@ -87,7 +91,7 @@ def build_schwarz(
 
     from ..obs.logger import scoped
 
-    local_cols = extraction_map(topo, np.asarray(ell.cols))
+    local_cols = extraction_map(topo, np.asarray(ell.colsT).T)
     local_cols_j = jnp.asarray(local_cols)
     sub2glob_j = jnp.asarray(topo.sub2glob)
     valid_j = jnp.asarray(topo.valid)
@@ -124,7 +128,8 @@ def build_schwarz(
         )
 
         rows = jnp.minimum(sub2glob_j, ell.n - 1)
-        sub_vals = ell.vals[rows] * valid_j[:, :, None]
+        sub_vals, _ = ell.rows_dense_gather(rows)
+        sub_vals = sub_vals * valid_j[:, :, None]
         sub_vals = jnp.where(local_cols_j >= topo.n_pad, 0.0, sub_vals)
         if precision == "dd":
             # double-single apply: exact f64-grade operator representation,
@@ -137,7 +142,11 @@ def build_schwarz(
                 raise ValueError("precision=dd requires the inverse mode")
             factors = dataclasses.replace(
                 factors, sub_vals=sub_vals, sub_cols=local_cols_j,
-                steps=int(solver_sub.get("refine_steps", 1)),
+                # 2 exact-sparse defect-correction steps: reduces the
+                # per-apply noise floor enough that verified-GMRES needs
+                # notably fewer extra iterations (measured 42 -> 27 on
+                # islands 64^2 at 1e-8)
+                steps=int(solver_sub.get("refine_steps", 2)),
             )
         else:
             # f32 fast apply + exact-sparse f64 defect correction
@@ -158,9 +167,12 @@ def build_schwarz(
     else:
         pou_arr = jnp.ones(topo.sub2glob.shape, A_sub.dtype)
 
+    from ..core.indexmaps import dual_scatter_map
+
     return SchwarzPreconditioner(
         sub2glob=jnp.asarray(topo.sub2glob),
         valid=jnp.asarray(topo.valid),
         pou=pou_arr,
         factors=factors,
+        dualT=jnp.asarray(dual_scatter_map(topo)),
     )

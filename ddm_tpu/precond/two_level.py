@@ -140,7 +140,7 @@ def two_level_sharded_solve(p, mesh, nev: int = 2, axis: str = "sub",
         )
     A_neu, B_neu = neumann_matrices(p)
     C_pou = scale_matrix_with_pou(B_neu, jnp.asarray(p.pou))
-    local_cols = extraction_map(p.topo, np.asarray(p.A.cols))
+    local_cols = extraction_map(p.topo, np.asarray(p.A.colsT).T)
 
     body = partial(sharded_two_level_step, nev=nev, axis=axis,
                    reduction=reduction, maxit=maxit)
@@ -176,6 +176,10 @@ def build_two_level(p, fine: SchwarzPreconditioner | None = None):
         return fine
     basis = build_coarse_space(p, cs_type, ptree)
     coarse_ptree = ptree if "coarse_solver.type" in ptree else None
-    coarse = build_galerkin(p.A, p.topo, basis, coarse_ptree)
+    # every coarse space built here is POU-finalized (vanishes on subdomain
+    # boundaries), so the pairwise-local coarse matrix is exact — and ~100x
+    # the scan-of-SpMVs formulation on TPU (galerkin_coarse_matrix_pairs)
+    method = ptree.sub("coarse_solver").get("matrix_method", "pairs")
+    coarse = build_galerkin(p.A, p.topo, basis, coarse_ptree, method=method)
     op = p.A if ptree.sub("combined_preconditioner").get("mode", "additive") == "multiplicative" else None
     return build_combined([fine, coarse], ptree, op=op)

@@ -359,7 +359,10 @@ def factor_batched(
     if mode == "auto":
         mode = "factors" if on_cpu else "inverse"
     if refine_steps is None:
-        refine_steps = 0 if on_cpu else 1
+        # the Newton polish (2 full f64-emulated matmuls) pays for the f64
+        # apply path; the dd apply carries its own exact-sparse defect
+        # correction, making the polish redundant
+        refine_steps = 0 if (on_cpu or store_dtype == "dd") else 1
     def _pack_inverse(inv):
         if store_dtype == "dd":
             h, l = dd_split(inv)

@@ -76,7 +76,7 @@ class TwoLevelNewtonSolver:
     def _build_prec(self, J):
         if self._local_cols is None:
             self._local_cols = jnp.asarray(
-                extraction_map(self.topo, np.asarray(J.cols))
+                extraction_map(self.topo, np.asarray(J.colsT).T)
             )
         A_sub = extract_subdomain_dense(
             J, self.sub2glob, self.valid, self._local_cols

@@ -45,7 +45,7 @@ def test_rigid_body_modes_in_kernel():
 
     modes = rigid_body_modes(grid.nodes, 3)
     assert len(modes) == 6
-    Anorm = float(jnp.abs(A.vals).max())
+    Anorm = float(jnp.abs(A.valsT).max())
     for m in modes:
         r = A.mv(m)
         assert float(jnp.abs(r).max()) < 1e-9 * Anorm * float(jnp.abs(m).max() + 1)

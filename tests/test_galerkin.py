@@ -88,7 +88,7 @@ def test_overlap6_reproduces_full_matrix():
     topo = fixture_topology(overlap=6)
     assert (topo.sizes == 9).all()
     pat, ell = fixture_ell()
-    lc = extraction_map(topo, np.asarray(ell.cols))
+    lc = extraction_map(topo, np.asarray(ell.colsT).T)
     A_sub = extract_subdomain_dense(
         ell, jnp.asarray(topo.sub2glob), jnp.asarray(topo.valid), jnp.asarray(lc),
         unit_padding_diag=False,
@@ -129,7 +129,7 @@ def test_global_equals_local_for_boundary_zero_basis():
     topo, _ = setup_topology(disc, overlap=2, parts=(2, 2))
     pou = pou_weights(topo, "standard")
     basis = pou_coarse_space(topo, pou)
-    lc = extraction_map(topo, np.asarray(A.cols))
+    lc = extraction_map(topo, np.asarray(A.colsT).T)
     A_sub = extract_subdomain_dense(
         A, jnp.asarray(topo.sub2glob), jnp.asarray(topo.valid), jnp.asarray(lc)
     )
@@ -214,3 +214,33 @@ def test_multiplicative_requires_op():
     c = CombinedPreconditioner(precs=(fine, fine), mode="multiplicative")
     with pytest.raises(ValueError, match="multiplicative"):
         c.apply(rhs)
+
+
+def test_pairs_coarse_matrix_matches_global():
+    """galerkin_coarse_matrix_pairs == the true Galerkin product for
+    POU-finalized bases (GenEO on islands), symmetric AND nonsymmetric."""
+    import jax.numpy as jnp
+    from ddm_tpu.api import default_ptree, setup_problem
+    from ddm_tpu.coarse.geneo import geneo_coarse_space
+    from ddm_tpu.fem import problems as prob
+    from ddm_tpu.precond.extract import extract_subdomain_dense
+    from ddm_tpu.precond.galerkin import (
+        galerkin_coarse_matrix,
+        galerkin_coarse_matrix_pairs,
+    )
+
+    pt = default_ptree()
+    pt["gridsize"] = 32
+    pt["geneo.eigensolver.nev"] = 4
+    p = setup_problem(pt, problem=prob.islands(), parts=(3, 3))
+    basis = geneo_coarse_space(p, pt)
+    E_global = galerkin_coarse_matrix(
+        p.A, jnp.asarray(p.topo.sub2glob), basis)
+    lc = extraction_map(p.topo, np.asarray(p.A.colsT).T)
+    A_sub = extract_subdomain_dense(
+        p.A, jnp.asarray(p.topo.sub2glob), jnp.asarray(p.topo.valid),
+        jnp.asarray(lc))
+    E_pairs = galerkin_coarse_matrix_pairs(A_sub, p.topo, basis)
+    scale = float(jnp.abs(E_global).max())
+    np.testing.assert_allclose(
+        np.asarray(E_pairs), np.asarray(E_global), atol=1e-12 * scale)

@@ -163,10 +163,13 @@ def test_dd_apply_matches_f64():
 
 
 def test_two_level_dd_precision_converges_like_f64():
-    """GenEO-RAS with schwarz precision=dd: same convergence target reached,
-    iteration count within 2 of the f64 run (the dd apply is an effectively
-    exact operator with incoherent ~1e-6 noise — unlike the plain-f32 path,
-    which stalls on high-contrast problems)."""
+    """GenEO-RAS with schwarz precision=dd: the same TRUE convergence target
+    is reached (solve_from_config auto-enables verified termination for
+    reduced-precision preconditioners — the Givens estimate alone reports
+    false convergence), at a bounded iteration overhead vs f64 (the dd
+    apply's incoherent ~1e-7 noise re-excites small-eigenvalue directions
+    each cycle; measured ~1.6x here — unlike the plain-f32 path, which
+    stalls outright on high-contrast problems)."""
     import jax.numpy as jnp
     from ddm_tpu.api import (
         build_preconditioner, default_ptree, setup_problem, solve,
@@ -188,5 +191,14 @@ def test_two_level_dd_precision_converges_like_f64():
     prec = build_preconditioner(p)
     res_dd = solve(p, prec=prec)
     assert bool(res_dd.converged)
-    assert abs(int(res_dd.iterations) - int(res64.iterations)) <= 2, (
+    # honest convergence: the true (unpreconditioned) residual matches the
+    # f64 run's order of magnitude — not just the recurrence estimate
+    import numpy as np
+
+    def true_res(r):
+        return float(jnp.linalg.norm(p.A.mv(r.x) - p.rhs)
+                     / jnp.linalg.norm(p.rhs))
+
+    assert true_res(res_dd) < 10 * max(true_res(res64), 1e-12)
+    assert int(res_dd.iterations) <= 2 * int(res64.iterations), (
         int(res_dd.iterations), int(res64.iterations))
