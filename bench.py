@@ -47,18 +47,19 @@ def build_problem(gridsize, parts, overlap, nev):
     pt["coarsespace.type"] = "geneo"
     pt["coarse_solver.type"] = "cholesky"
     pt["geneo.eigensolver.nev"] = nev
-    # TPU fast path: double-single applies + dd orthogonalization (exact
-    # f64-grade operator representation, f32 MXU arithmetic), with VERIFIED
-    # termination — the solve stops on the recomputed true preconditioned
-    # defect, so the 1e-8 target is honest; the dd noise costs a bounded
-    # iteration overhead (~1.6x, tests/test_schwarz_cg.py) but each
-    # iteration avoids the ~20x f64 matmul emulation.
-    # DDM_BENCH_PRECISION=f64 reverts to the emulated-f64 path.
-    prec = os.environ.get("DDM_BENCH_PRECISION", "dd")
+    # Precision mode: f64 (default) runs the emulated-f64 apply path and
+    # terminates on the standard ISTL estimate.  DDM_BENCH_PRECISION=dd
+    # switches to double-single applies + dd orthogonalization with
+    # verified termination — honest 1e-8 at ~1.6-2x the iterations on
+    # SMALL problems, but measured non-convergent (stalls ~2e-3) at
+    # 384^2/contrast 1e6: the dd apply noise floor exceeds what verified
+    # GMRES can push through at this conditioning.  Kept opt-in for
+    # moderate-tolerance / moderate-contrast runs only.
+    prec = os.environ.get("DDM_BENCH_PRECISION", "f64")
     if prec != "f64":
         pt["schwarz.subdomain_solver.precision"] = prec
         pt["coarse_solver.precision"] = prec
-    pt["solver.ortho"] = os.environ.get("DDM_BENCH_ORTHO", "dd")
+    pt["solver.ortho"] = os.environ.get("DDM_BENCH_ORTHO", "f64")
     return setup_problem(pt, problem=pm.islands(), parts=(parts, parts))
 
 

@@ -29,6 +29,7 @@ on the boundary).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -144,6 +145,56 @@ def galerkin_coarse_matrix_sharded(
     return _mask_inactive(E, active_all)
 
 
+@partial(jax.jit, static_argnames=("n_sub", "nev"))
+def _pairs_device(A_sub, V, pi, pj, m_pair, *, n_sub, nev):
+    """Device half of :func:`galerkin_coarse_matrix_pairs` — a single jitted
+    executable (module-level: the eager formulation paid ~50 s of one-op
+    compile/dispatch warmup per build on the remote TPU backend; one fused
+    executable compiles once and persists in the compile cache)."""
+    # W[i] = A^(i) V_i^T : (n_sub, n_pad, nev), narrow f64 matmul
+    W = jnp.einsum("spq,skq->spk", A_sub, V)
+    # gather v_jl onto i's local numbering: (n_pairs, nev, n_pad)
+    Vpad = jnp.concatenate([V, jnp.zeros((n_sub, nev, 1), V.dtype)], axis=2)
+    Vj_on_i = Vpad[
+        pj[:, None, None], jnp.arange(nev)[None, :, None], m_pair[:, None, :]
+    ]
+    # blocks: E_pair[x, k, l] = sum_p (A^(i) v_ik)[p] * v_jl[p]
+    #                         = v_jl^T A v_ik  ->  E[(j,l), (i,k)]
+    E_pair = jnp.einsum("xpk,xlp->xkl", W[pi], Vj_on_i)
+    # assemble into (n_c, n_c); pair blocks are disjoint -> add == set
+    nc = n_sub * nev
+    rows_idx = pj[:, None, None] * nev + jnp.arange(nev)[None, None, :]
+    cols_idx = pi[:, None, None] * nev + jnp.arange(nev)[None, :, None]
+    shp = (pi.shape[0], nev, nev)
+    E = jnp.zeros((nc, nc), V.dtype)
+    return E.at[
+        jnp.broadcast_to(rows_idx, shp).reshape(-1),
+        jnp.broadcast_to(cols_idx, shp).reshape(-1),
+    ].add(E_pair.reshape(-1))
+
+
+def _pairs_maps(topo):
+    """(pi, pj, m_pair) overlapping-pair index maps, cached on the topology."""
+    cached = getattr(topo, "_pairs_maps", None)
+    if cached is not None:
+        return cached
+    # overlapping pairs from the membership graph
+    # (int32: intersection sizes overflow int8 — a 16x16 overlap region is
+    # exactly 256 dofs and wrapped the self-pair count to zero)
+    M = topo.membership.astype(np.int32)
+    inter = (M @ M.T).tocoo()
+    pi = inter.row.astype(np.int32)
+    pj = inter.col.astype(np.int32)
+    # j-local index of subdomain i's p-th dof (n_pairs, n_pad), n_pad = absent
+    rows = np.minimum(topo.sub2glob[pi], topo.n_glob)  # (n_pairs, n_pad)
+    m_pair = np.take_along_axis(topo.glob2loc[pj], rows, axis=1)
+    m_pair = np.where((m_pair < 0) | ~topo.valid[pi], topo.n_pad, m_pair)
+    maps = (jnp.asarray(pi), jnp.asarray(pj),
+            jnp.asarray(m_pair.astype(np.int32)))
+    object.__setattr__(topo, "_pairs_maps", maps)
+    return maps
+
+
 def galerkin_coarse_matrix_pairs(
     A_sub: jnp.ndarray,
     topo,
@@ -162,51 +213,12 @@ def galerkin_coarse_matrix_pairs(
     rows p on the graph boundary of S_i where v_ik = 0.
 
     Replaces the n_sub-step scan of global SpMVs (~40 ms/step on TPU) with
-    ONE batched narrow matmul + one pair-batched gather/einsum (~100x).
+    ONE batched narrow matmul + one pair-batched gather/einsum (~10x warm).
     """
-    import numpy as npidx  # noqa: F401  (keep numpy import local name clear)
-
-    n_sub, nev, n_pad = basis.V.shape
-    # W[i] = A^(i) V_i^T : (n_sub, n_pad, nev), narrow f64 matmul
-    W = jnp.einsum("spq,skq->spk", A_sub, basis.V)
-
-    # host: overlapping pairs + index maps (j-local position of i's dofs)
-    # (int32: intersection sizes overflow int8 — a 16x16 overlap region is
-    # exactly 256 dofs and wrapped the self-pair count to zero)
-    M = topo.membership.astype(np.int32)
-    inter = (M @ M.T).tocoo()
-    pi = inter.row.astype(np.int64)
-    pj = inter.col.astype(np.int64)
-    # j-local index of subdomain i's p-th dof (n_pairs, n_pad), n_pad = absent
-    rows = np.minimum(topo.sub2glob[pi], topo.n_glob)  # (n_pairs, n_pad)
-    m_pair = np.take_along_axis(topo.glob2loc[pj], rows, axis=1)
-    m_pair = np.where((m_pair < 0) | ~topo.valid[pi], n_pad, m_pair)
-
-    # gather v_jl onto i's local numbering: (n_pairs, nev, n_pad)
-    Vpad = jnp.concatenate(
-        [basis.V, jnp.zeros((n_sub, nev, 1), basis.V.dtype)], axis=2
-    )
-    pj_j = jnp.asarray(pi * 0 + pj)  # (n_pairs,)
-    Vj_on_i = Vpad[
-        pj_j[:, None, None],
-        jnp.arange(nev)[None, :, None],
-        jnp.asarray(m_pair.astype(np.int32))[:, None, :],
-    ]
-    # blocks: E_pair[x, k, l] = sum_p (A^(i) v_ik)[p] * v_jl[p]
-    #                         = v_jl^T A v_ik  ->  E[(j,l), (i,k)]
-    E_pair = jnp.einsum("xpk,xlp->xkl", W[jnp.asarray(pi)], Vj_on_i)
-
-    # assemble into (n_c, n_c); pair blocks are disjoint -> add == set
-    nc = n_sub * nev
-    rows_idx = (pj[:, None, None] * nev + np.arange(nev)[None, None, :])
-    cols_idx = (pi[:, None, None] * nev + np.arange(nev)[None, :, None])
-    shp = (pi.size, nev, nev)
-    E = jnp.zeros((nc, nc), basis.V.dtype)
-    E = E.at[
-        jnp.asarray(np.broadcast_to(rows_idx, shp).reshape(-1)),
-        jnp.asarray(np.broadcast_to(cols_idx, shp).reshape(-1)),
-    ].add(E_pair.reshape(-1))
-    return E
+    n_sub, nev, _ = basis.V.shape
+    pi, pj, m_pair = _pairs_maps(topo)
+    return _pairs_device(A_sub, basis.V, pi, pj, m_pair,
+                         n_sub=n_sub, nev=nev)
 
 
 def galerkin_coarse_matrix_local(
