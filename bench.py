@@ -377,24 +377,29 @@ def main():
         f"n_sub={p.topo.n_sub} n_pad={p.topo.n_pad}")
 
     tpu = run_tpu(p, nev)
-    cpu_par = run_cpu_baseline_parallel(p, nev)
+    cpu_totals = {}
+    if (os.cpu_count() or 1) > 1:
+        cpu_par = run_cpu_baseline_parallel(p, nev)
+        cpu_totals["parallel"] = (cpu_par["setup"] + cpu_par["solve"],
+                                  f"{cpu_par['workers']} workers")
     cpu_seq = run_cpu_baseline(p, nev)
+    cpu_totals["sequential"] = (cpu_seq["setup"] + cpu_seq["solve"], "1 core")
 
     tpu_total = tpu["setup"] + tpu["solve"]
-    seq_total = cpu_seq["setup"] + cpu_seq["solve"]
-    par_total = cpu_par["setup"] + cpu_par["solve"]
-    log(f"TPU {tpu_total:.2f}s | CPU sequential {seq_total:.2f}s "
-        f"({seq_total / tpu_total:.2f}x) | CPU parallel "
-        f"({cpu_par['workers']} workers) {par_total:.2f}s "
-        f"({par_total / tpu_total:.2f}x)")
-    # vs_baseline reports against the PARALLEL CPU emulation — the honest
-    # stand-in for the reference's per-rank MPI deployment on this host
+    log(f"TPU {tpu_total:.2f}s | " + " | ".join(
+        f"CPU {k} ({d}) {t:.2f}s ({t / tpu_total:.2f}x)"
+        for k, (t, d) in cpu_totals.items()))
+    # vs_baseline reports against the BEST CPU deployment available on this
+    # host: the parallel (MPI-emulating) baseline when the host has multiple
+    # cores, else the plain sequential run (a 1-worker "parallel" baseline
+    # only measures IPC overhead and would inflate the ratio).
+    best_cpu = min(t for t, _ in cpu_totals.values())
     print(json.dumps({
         "metric": f"poisson_islands_geneo_ras_{gridsize}x{gridsize}_"
                   f"{parts * parts}sub_setup_solve",
         "value": round(tpu_total, 4),
         "unit": "s",
-        "vs_baseline": round(par_total / tpu_total, 3),
+        "vs_baseline": round(best_cpu / tpu_total, 3),
     }))
 
 

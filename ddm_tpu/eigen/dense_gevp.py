@@ -80,10 +80,20 @@ def solve_gevp_dense(
     eye = jnp.broadcast_to(jnp.eye(p, dtype=A.dtype), A.shape)
     if spd:
         Areg = A + eps[:, None, None] * jnp.eye(p, dtype=A.dtype)[None]
-        L = jnp.linalg.cholesky(Areg)
-        Linv = jax.lax.linalg.triangular_solve(
-            L, eye, left_side=True, lower=True
-        )
+        if jax.default_backend() == "cpu":
+            L = jnp.linalg.cholesky(Areg)
+            Linv = jax.lax.linalg.triangular_solve(
+                L, eye, left_side=True, lower=True
+            )
+        else:
+            # blocked triangular inversion (solvers/direct.py): the cubic
+            # work runs as f64 matmuls instead of the backend's scalar
+            # -emulated triangular recurrence (~16 GF/s measured); lax
+            # cholesky itself measures fast and stays
+            from ..solvers.direct import batched_tri_lower_inv
+
+            L = jnp.linalg.cholesky(Areg)
+            Linv = batched_tri_lower_inv(L)
     else:
         d, Q = jnp.linalg.eigh(0.5 * (A + jnp.swapaxes(A, 1, 2)))
         d = jnp.maximum(d, eps[:, None])

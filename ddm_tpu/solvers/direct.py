@@ -321,6 +321,124 @@ def resolve_solver_type(solver_type: str) -> str:
     raise ValueError(f"Unknown subdomain solver type '{solver_type}'")
 
 
+def batched_cholesky_blocked(A: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
+    """Batched Cholesky with the cubic work as f64 square matmuls.
+
+    XLA's ``cholesky`` runs its recurrence scalar-emulated on this TPU
+    backend (~5 GF/s-equivalent measured — 9.5 s of a 10.9 s factorise at
+    (256,848,848)); the standard left-looking block algorithm moves all
+    O(p^3) work into nb x nb matmuls (~330 GF/s) leaving only B diagonal
+    -block factorizations and B(B-1)/2 small triangular solves on the slow
+    path.
+
+    A: (n_sub, p, p) SPD.  Returns lower L with L L^T = A (padding blocks
+    handled; exact same math as lax.linalg.cholesky up to roundoff).
+    """
+    n_sub, p, _ = A.shape
+    B = -(-p // nb)
+    P = B * nb
+    if P != p:
+        Ap = jnp.zeros((n_sub, P, P), A.dtype)
+        Ap = Ap.at[:, :p, :p].set(A)
+        Ap = Ap.at[:, jnp.arange(p, P), jnp.arange(p, P)].set(1.0)
+        A = Ap
+    blk = A.reshape(n_sub, B, nb, B, nb).transpose(0, 1, 3, 2, 4)
+    L = [[None] * B for _ in range(B)]
+    for k in range(B):
+        S = blk[:, k, k]
+        if k:
+            S = S - sum(
+                jnp.einsum("spq,srq->spr", L[k][j], L[k][j])
+                for j in range(k)
+            )
+        Lkk = jnp.linalg.cholesky(S)
+        L[k][k] = Lkk
+        if k + 1 < B:
+            # panel: L[i][k] = S_i L_kk^{-T}  via small triangular solves
+            Si = blk[:, k + 1:, k]  # (n_sub, B-k-1, nb, nb)
+            if k:
+                Si = Si - jnp.stack(
+                    [
+                        sum(
+                            jnp.einsum("spq,srq->spr", L[i][j], L[k][j])
+                            for j in range(k)
+                        )
+                        for i in range(k + 1, B)
+                    ],
+                    axis=1,
+                )
+            Lkk_b = jnp.broadcast_to(
+                Lkk[:, None], (n_sub, B - k - 1, nb, nb)
+            )
+            panel = jax.lax.linalg.triangular_solve(
+                Lkk_b, Si, left_side=False, lower=True, transpose_a=True,
+            )
+            for i in range(k + 1, B):
+                L[i][k] = panel[:, i - k - 1]
+    zero = jnp.zeros((n_sub, nb, nb), A.dtype)
+    rows = [
+        jnp.concatenate([L[i][j] if j <= i else zero for j in range(B)],
+                        axis=2)
+        for i in range(B)
+    ]
+    out = jnp.concatenate(rows, axis=1)
+    return out[:, :p, :p]
+
+
+def batched_tri_lower_inv(L: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
+    """Explicit inverse of a batch of lower-triangular matrices via blocked
+    forward substitution.
+
+    XLA's ``triangular_solve`` against the identity runs its recurrence in
+    emulated-f64 scalar form on this TPU backend (~20-40 GF/s-equivalent);
+    reformulated as nb-block substitution, all the cubic work becomes square
+    f64 matmuls (~330 GF/s measured) plus B tiny diagonal-block solves.
+    Math is the standard column-block algorithm:
+
+        X[j,j] = L[j,j]^{-1}
+        X[i,j] = -L[i,i]^{-1} sum_{j<=k<i} L[i,k] X[k,j]   (i > j)
+
+    L: (n_sub, p, p); returns (n_sub, p, p) with X @ L == I on the leading
+    p x p (padding blocks are identity).  Cost: B^3/6 block matmuls.
+    """
+    n_sub, p, _ = L.shape
+    B = -(-p // nb)
+    P = B * nb
+    if P != p:
+        # pad with identity diag so padded diagonal blocks stay invertible
+        Lp = jnp.zeros((n_sub, P, P), L.dtype)
+        Lp = Lp.at[:, :p, :p].set(L)
+        Lp = Lp.at[:, jnp.arange(p, P), jnp.arange(p, P)].set(1.0)
+        L = Lp
+    # (n_sub, B, B, nb, nb) block view: blk[s, i, j] = L[s, i-block, j-block]
+    blk = L.reshape(n_sub, B, nb, B, nb).transpose(0, 1, 3, 2, 4)
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=L.dtype), (n_sub, B, nb, nb))
+    Dinv = jax.lax.linalg.triangular_solve(
+        blk[:, jnp.arange(B), jnp.arange(B)], eye,
+        left_side=True, lower=True,
+    )  # (n_sub, B, nb, nb)
+    # X block rows, filled top-down; X[i, j] for j <= i
+    X = [[None] * B for _ in range(B)]
+    for i in range(B):
+        for j in range(i + 1):
+            if i == j:
+                X[i][j] = Dinv[:, i]
+            else:
+                acc = sum(
+                    jnp.einsum("spq,sqr->spr", blk[:, i, k], X[k][j])
+                    for k in range(j, i)
+                )
+                X[i][j] = -jnp.einsum("spq,sqr->spr", Dinv[:, i], acc)
+    zero = jnp.zeros((n_sub, nb, nb), L.dtype)
+    rows = [
+        jnp.concatenate([X[i][j] if j <= i else zero for j in range(B)],
+                        axis=2)
+        for i in range(B)
+    ]
+    out = jnp.concatenate(rows, axis=1)
+    return out[:, :p, :p]
+
+
 def _newton_refine(A: jnp.ndarray, X: jnp.ndarray, steps: int) -> jnp.ndarray:
     """Newton–Schulz refinement X <- X (2I - A X).
 
@@ -359,10 +477,11 @@ def factor_batched(
     if mode == "auto":
         mode = "factors" if on_cpu else "inverse"
     if refine_steps is None:
-        # the Newton polish (2 full f64-emulated matmuls) pays for the f64
-        # apply path; the dd apply carries its own exact-sparse defect
-        # correction, making the polish redundant
-        refine_steps = 0 if (on_cpu or store_dtype == "dd") else 1
+        # Newton polish default OFF everywhere: measured on the TPU backend
+        # (f64 = double-single emulation) the polished inverse is NOT more
+        # accurate (3.8e-13 vs 2.4e-13 solve error at 848^2/cond 1e7) and
+        # costs 2 full square f64 matmuls (~1.9 s at bench size)
+        refine_steps = 0
     def _pack_inverse(inv):
         if store_dtype == "dd":
             h, l = dd_split(inv)
@@ -377,12 +496,22 @@ def factor_batched(
     # with eps_dd ~ 3e-7 (f32 MXU accumulation), which is O(1) at cond 1e7.
     # Construction stays f64; only the APPLY uses dd (store_dtype="dd").
     if st == "cholesky":
+        # NOTE: lax cholesky measures FAST on the TPU backend (sub-ms/chunk;
+        # a blocked-matmul reformulation measured 4s SLOWER at bench size,
+        # latency-bound on its many small sequential matmuls) — keep lax.
         chol = jnp.linalg.cholesky(A)
         if mode == "inverse":
-            eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=A.dtype), A.shape)
-            linv = jax.lax.linalg.triangular_solve(
-                chol, eye, left_side=True, lower=True
-            )
+            if on_cpu:
+                eye = jnp.broadcast_to(
+                    jnp.eye(A.shape[-1], dtype=A.dtype), A.shape
+                )
+                linv = jax.lax.linalg.triangular_solve(
+                    chol, eye, left_side=True, lower=True
+                )
+            else:
+                # blocked substitution: cubic work as f64 square matmuls
+                # (~330 GF/s) instead of XLA's scalar-emulated recurrence
+                linv = batched_tri_lower_inv(chol)
             inv = jnp.einsum("sqp,sqr->spr", linv, linv)  # L^{-T} L^{-1}
             inv = _newton_refine(A, inv, refine_steps)
             return _pack_inverse(inv)

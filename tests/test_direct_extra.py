@@ -1,0 +1,66 @@
+"""Extra coverage of solvers/direct.py building blocks."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddm_tpu.solvers.direct import batched_tri_lower_inv, factor_batched
+
+
+@pytest.mark.parametrize("p", [100, 128, 300])
+def test_batched_tri_lower_inv_matches_numpy(p):
+    """Blocked-substitution triangular inverse == numpy inv, including the
+    non-multiple-of-block padding path (the TPU factorise/GEVP fast path;
+    solvers/direct.py:batched_tri_lower_inv)."""
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((3, p, p))
+    A = A @ np.swapaxes(A, 1, 2) + p * np.eye(p)
+    L = np.linalg.cholesky(A)
+    Li = np.asarray(batched_tri_lower_inv(jnp.asarray(L)))
+    ref = np.linalg.inv(L)
+    assert np.abs(Li - ref).max() / np.abs(ref).max() < 1e-13
+
+
+def test_batched_tri_lower_inv_small_block():
+    """Explicit small block size exercises multi-block substitution."""
+    rng = np.random.default_rng(1)
+    p = 70
+    A = rng.standard_normal((2, p, p))
+    A = A @ np.swapaxes(A, 1, 2) + p * np.eye(p)
+    L = np.linalg.cholesky(A)
+    Li = np.asarray(batched_tri_lower_inv(jnp.asarray(L), nb=16))
+    ref = np.linalg.inv(L)
+    assert np.abs(Li - ref).max() / np.abs(ref).max() < 1e-13
+
+
+def test_factor_batched_inverse_quality_without_polish():
+    """mode=inverse with refine_steps=0 (the new default) still produces an
+    inverse whose solve error is at the eps*cond level (the Newton polish
+    measured no better on either backend)."""
+    rng = np.random.default_rng(2)
+    p = 120
+    A = rng.standard_normal((4, p, p))
+    A = A @ np.swapaxes(A, 1, 2) + 1e-3 * p * np.eye(p)
+    Aj = jnp.asarray(A)
+    fac = factor_batched(Aj, "cholesky", mode="inverse", refine_steps=0)
+    x = jnp.asarray(rng.standard_normal((4, p)))
+    b = jnp.einsum("spq,sq->sp", Aj, x)
+    xs = fac.solve(b)
+    err = float(jnp.linalg.norm(xs - x) / jnp.linalg.norm(x))
+    assert err < 1e-8
+
+
+@pytest.mark.parametrize("p", [100, 128, 300])
+def test_batched_cholesky_blocked_matches_numpy(p):
+    """Blocked Cholesky == LAPACK Cholesky to roundoff, incl. padding and
+    an ill-conditioned diagonal scaling (the TPU factorise/GEVP fast path)."""
+    rng = np.random.default_rng(3)
+    from ddm_tpu.solvers.direct import batched_cholesky_blocked
+
+    d = 10.0 ** rng.uniform(-3, 3, p)
+    A = rng.standard_normal((3, p, p))
+    A = A @ np.swapaxes(A, 1, 2) + p * np.eye(p)
+    A = d[None, :, None] * A * d[None, None, :]
+    L = np.asarray(batched_cholesky_blocked(jnp.asarray(A)))
+    ref = np.linalg.cholesky(A)
+    assert np.abs(L - ref).max() / np.abs(ref).max() < 1e-13
