@@ -80,8 +80,12 @@ def solve_gevp_dense(
     eye = jnp.broadcast_to(jnp.eye(p, dtype=A.dtype), A.shape)
     if spd:
         Areg = A + eps[:, None, None] * jnp.eye(p, dtype=A.dtype)[None]
-        if jax.default_backend() == "cpu":
-            L = jnp.linalg.cholesky(Areg)
+        from ..solvers.direct import batched_tri_lower_inv, use_blocked_tri_inv
+
+        # lax cholesky (blocked variants measured slower — see
+        # solvers/direct.py:factor_batched)
+        L = jnp.linalg.cholesky(Areg)
+        if jax.default_backend() == "cpu" or not use_blocked_tri_inv(n_sub):
             Linv = jax.lax.linalg.triangular_solve(
                 L, eye, left_side=True, lower=True
             )
@@ -90,9 +94,6 @@ def solve_gevp_dense(
             # work runs as f64 matmuls instead of the backend's scalar
             # -emulated triangular recurrence (~16 GF/s measured); lax
             # cholesky itself measures fast and stays
-            from ..solvers.direct import batched_tri_lower_inv
-
-            L = jnp.linalg.cholesky(Areg)
             Linv = batched_tri_lower_inv(L)
     else:
         d, Q = jnp.linalg.eigh(0.5 * (A + jnp.swapaxes(A, 1, 2)))

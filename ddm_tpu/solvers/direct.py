@@ -385,7 +385,15 @@ def batched_cholesky_blocked(A: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
     return out[:, :p, :p]
 
 
-def batched_tri_lower_inv(L: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
+def use_blocked_tri_inv(n_sub: int) -> bool:
+    """Blocked substitution wins only for LARGE batches: its per-step small
+    matmuls are dispatch-latency-bound, so at small batch (e.g. the coarse
+    factor, n_sub=1) lax triangular_solve is faster (measured 0.3s vs 4.4s
+    at (1,2048,2048))."""
+    return n_sub >= 8
+
+
+def batched_tri_lower_inv(L: jnp.ndarray, nb: int = 256) -> jnp.ndarray:
     """Explicit inverse of a batch of lower-triangular matrices via blocked
     forward substitution.
 
@@ -496,12 +504,14 @@ def factor_batched(
     # with eps_dd ~ 3e-7 (f32 MXU accumulation), which is O(1) at cond 1e7.
     # Construction stays f64; only the APPLY uses dd (store_dtype="dd").
     if st == "cholesky":
-        # NOTE: lax cholesky measures FAST on the TPU backend (sub-ms/chunk;
-        # a blocked-matmul reformulation measured 4s SLOWER at bench size,
-        # latency-bound on its many small sequential matmuls) — keep lax.
+        # lax cholesky everywhere: blocked reformulations (B=2 and B=7)
+        # both measured SLOWER on the TPU backend — the emulated-f64
+        # recurrence cost scales with the ~p sequential steps, which
+        # blocking does not reduce (measured: lax 10.9s, B=2 11.8s, B=7
+        # 15.2s for the bench factorise)
         chol = jnp.linalg.cholesky(A)
         if mode == "inverse":
-            if on_cpu:
+            if on_cpu or not use_blocked_tri_inv(A.shape[0]):
                 eye = jnp.broadcast_to(
                     jnp.eye(A.shape[-1], dtype=A.dtype), A.shape
                 )
@@ -510,7 +520,7 @@ def factor_batched(
                 )
             else:
                 # blocked substitution: cubic work as f64 square matmuls
-                # (~330 GF/s) instead of XLA's scalar-emulated recurrence
+                # instead of XLA's scalar-emulated recurrence (~16 GF/s)
                 linv = batched_tri_lower_inv(chol)
             inv = jnp.einsum("sqp,sqr->spr", linv, linv)  # L^{-T} L^{-1}
             inv = _newton_refine(A, inv, refine_steps)
