@@ -11,7 +11,7 @@ nev differ per subdomain; masking replaces raggedness under SPMD).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +22,12 @@ import jax.numpy as jnp
 class CoarseBasis:
     V: jnp.ndarray  # (n_sub, nev_max, n_pad), zero rows where inactive
     active: jnp.ndarray  # (n_sub, nev_max) bool
+    # True iff every basis vector vanishes on its subdomain's boundary layer
+    # (POU-finalized or interior-masked).  The pairwise-local Galerkin
+    # coarse-matrix formula (precond/galerkin.py, method='pairs') is exact
+    # ONLY under this invariant; build_two_level falls back to the global
+    # formula when a coarse space clears the flag.
+    boundary_vanishing: bool = field(default=True, metadata=dict(static=True))
 
     @property
     def n_sub(self):

@@ -178,8 +178,12 @@ def build_two_level(p, fine: SchwarzPreconditioner | None = None):
     coarse_ptree = ptree if "coarse_solver.type" in ptree else None
     # every coarse space built here is POU-finalized (vanishes on subdomain
     # boundaries), so the pairwise-local coarse matrix is exact — and ~100x
-    # the scan-of-SpMVs formulation on TPU (galerkin_coarse_matrix_pairs)
+    # the scan-of-SpMVs formulation on TPU (galerkin_coarse_matrix_pairs).
+    # A coarse space without that invariant must clear basis.boundary_vanishing
+    # and gets the always-exact global formula instead.
     method = ptree.sub("coarse_solver").get("matrix_method", "pairs")
+    if method == "pairs" and not basis.boundary_vanishing:
+        method = "global"
     coarse = build_galerkin(p.A, p.topo, basis, coarse_ptree, method=method)
     op = p.A if ptree.sub("combined_preconditioner").get("mode", "additive") == "multiplicative" else None
     return build_combined([fine, coarse], ptree, op=op)

@@ -173,19 +173,23 @@ class BatchedInverseDD:
     steps: int = field(default=0, metadata=dict(static=True))
 
     def _amul(self, x: jnp.ndarray) -> jnp.ndarray:
-        n_sub, p = x.shape
-        pad = jnp.concatenate([x, jnp.zeros((n_sub, 1), x.dtype)], axis=1)
+        """Exact f64 A_sub @ x via the sparse rows; x: (n_sub, p[, k])."""
+        vec = x.ndim == 2
+        if vec:
+            x = x[:, :, None]
+        n_sub, p, k = x.shape
+        pad = jnp.concatenate([x, jnp.zeros((n_sub, 1, k), x.dtype)], axis=1)
         xs = jnp.take_along_axis(
-            pad, self.sub_cols.reshape(n_sub, -1), axis=1
-        ).reshape(self.sub_cols.shape)
-        return (self.sub_vals * xs).sum(axis=2)
+            pad, self.sub_cols.reshape(n_sub, -1, 1), axis=1
+        ).reshape(*self.sub_cols.shape, k)
+        y = (self.sub_vals[..., None] * xs).sum(axis=2)
+        return y[:, :, 0] if vec else y
 
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
         x = dd_matvec(self.inv_hi, self.inv_lo, b)
-        if self.steps and b.ndim == 2:
-            for _ in range(self.steps):
-                r = b - self._amul(x)
-                x = x + dd_matvec(self.inv_hi, self.inv_lo, r)
+        for _ in range(self.steps):
+            r = b - self._amul(x)
+            x = x + dd_matvec(self.inv_hi, self.inv_lo, r)
         return x
 
 

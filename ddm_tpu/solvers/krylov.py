@@ -477,8 +477,12 @@ def fgmres_solve(
         x, it, hist, _ = state
         x, it, hist, est = cycle(x, it, hist)
         if verify:
-            # verified termination (see gmres_solve)
+            # verified termination (see gmres_solve); overwrite the cycle-end
+            # history entry so history and the final defect stay consistent
+            # (in dd mode the Givens estimate can sit orders of magnitude
+            # below the true defect)
             defect = _norm(b - op(x))
+            hist = hist.at[jnp.minimum(it, maxit)].set(defect)
         else:
             defect = est
         return x, it, hist, defect

@@ -22,3 +22,14 @@ import jax  # noqa: E402
 # start; override it after import so tests always run on the CPU mesh
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+def reference_mesh(name: str) -> str:
+    """Path of a shipped reference mesh; skip the calling test when the
+    read-only reference checkout is not present on this machine."""
+    import pytest
+
+    path = f"/root/reference/data/{name}"
+    if not os.path.exists(path):
+        pytest.skip(f"reference mesh {name} not available")
+    return path

@@ -165,7 +165,9 @@ def test_dg_unstructured():
     from ddm_tpu.api import DDMProblem, build_preconditioner, default_ptree
     from ddm_tpu.fem.msh import read_msh
 
-    grid = read_msh("/root/reference/data/lshape.msh")
+    from conftest import reference_mesh
+
+    grid = read_msh(reference_mesh("lshape.msh"))
     assert grid.elem_type == "tri"
     disc = SimplexDGDiscretization(grid, prob.dg_heterogeneous())
     A, b, _ = disc.constrained_system()

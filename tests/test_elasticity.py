@@ -123,7 +123,9 @@ def test_elasticity_bar_msh():
     from ddm_tpu.fem.msh import read_msh
     from ddm_tpu.fem.problems import ElasticityProblem
 
-    grid = read_msh("/root/reference/data/bar.msh")
+    from conftest import reference_mesh
+
+    grid = read_msh(reference_mesh("bar.msh"))
     assert grid.elem_type == "tri"
     ep = ElasticityProblem(
         lam=lambda x: jnp.full(x.shape[:-1], 100.0),

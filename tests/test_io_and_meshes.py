@@ -92,7 +92,9 @@ def test_refine_unstructured_tet():
     from ddm_tpu.fem.grids import refine
     from ddm_tpu.fem.msh import read_msh
 
-    g = read_msh("/root/reference/data/unitcube.msh")
+    from conftest import reference_mesh
+
+    g = read_msh(reference_mesh("unitcube.msh"))
     assert g.elem_type == "tet"
     r = refine(g, 1)
     assert r.n_elems == 8 * g.n_elems
