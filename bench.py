@@ -378,10 +378,16 @@ def main():
 
     tpu = run_tpu(p, nev)
     cpu_totals = {}
+    parallel_note = None
     if (os.cpu_count() or 1) > 1:
         cpu_par = run_cpu_baseline_parallel(p, nev)
         cpu_totals["parallel"] = (cpu_par["setup"] + cpu_par["solve"],
                                   f"{cpu_par['workers']} workers")
+    else:
+        # the honest MPI-emulating comparison can't run here; say so in the
+        # JSON instead of silently reporting only the sequential number
+        # (the parallel path itself is pinned by tests/test_bench_baselines.py)
+        parallel_note = "skipped: 1 core"
     cpu_seq = run_cpu_baseline(p, nev)
     cpu_totals["sequential"] = (cpu_seq["setup"] + cpu_seq["solve"], "1 core")
 
@@ -394,13 +400,16 @@ def main():
     # cores, else the plain sequential run (a 1-worker "parallel" baseline
     # only measures IPC overhead and would inflate the ratio).
     best_cpu = min(t for t, _ in cpu_totals.values())
-    print(json.dumps({
+    out = {
         "metric": f"poisson_islands_geneo_ras_{gridsize}x{gridsize}_"
                   f"{parts * parts}sub_setup_solve",
         "value": round(tpu_total, 4),
         "unit": "s",
         "vs_baseline": round(best_cpu / tpu_total, 3),
-    }))
+    }
+    if parallel_note:
+        out["cpu_parallel_baseline"] = parallel_note
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -117,20 +117,37 @@ def setup_problem(
 def build_preconditioner(p: DDMProblem, mesh=None, axis: str = "sub"):
     """One- or two-level preconditioner per config (coarsespace.type).
 
-    With ``mesh`` given, the subdomain-batched state (factors, bases, index
-    maps) is device_put sharded over the mesh axis so preconditioner HBM is
-    actually distributed; pass the same mesh to :func:`solve`."""
-    cs_type = p.ptree.sub("coarsespace").get("type", "none")
-    fine = build_schwarz(p.A, p.topo, p.pou, p.ptree)
-    if cs_type == "none":
-        prec = fine
-    else:
-        from .precond.two_level import build_two_level
+    With ``mesh`` given, the ENTIRE setup phase — subdomain extraction,
+    batched factorization, eigensolves, coarse-basis finalization and the
+    coarse matrix — runs with the subdomain batch sharded over the mesh axis
+    (core/mesh.py setup_sharding): every builder commits its batched inputs,
+    and XLA partitions the downstream computation across devices, the GSPMD
+    equivalent of the reference's all-ranks-parallel setup
+    (schwarz.hh:85-92, coarse_spaces.hh:319-331,
+    galerkin_preconditioner.hh:219-349).  Pass the same mesh to
+    :func:`solve`."""
+    from contextlib import nullcontext
 
-        prec = build_two_level(p, fine)
+    cs_type = p.ptree.sub("coarsespace").get("type", "none")
+    if mesh is not None:
+        from .core.mesh import setup_sharding
+
+        ctx = setup_sharding(mesh, p.topo.n_sub, axis)
+    else:
+        ctx = nullcontext()
+    with ctx:
+        fine = build_schwarz(p.A, p.topo, p.pou, p.ptree)
+        if cs_type == "none":
+            prec = fine
+        else:
+            from .precond.two_level import build_two_level
+
+            prec = build_two_level(p, fine)
     if mesh is not None:
         from .core.mesh import shard_batched
 
+        # normalise: everything subdomain-batched sharded, the rest (global
+        # maps, the replicated coarse factor) replicated
         prec = shard_batched(prec, mesh, p.topo.n_sub, axis)
     return prec
 

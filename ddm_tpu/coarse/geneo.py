@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ParamTree
+from ..core.mesh import batched
 from ..eigen.dense_gevp import solve_gevp_dense
 from ..eigen.params import EigensolverParams
 from ..fem.subassembly import (
@@ -57,7 +58,7 @@ def neumann_matrices(p, region_b: str = "overlap"):
         for dofs, K in groups:
             sub_e, sub_l = subdomain_stamp_lists(dofs, topo)
             A_neu = A_neu + neumann_dense(
-                K, jnp.asarray(sub_e), jnp.asarray(sub_l), topo.n_pad
+                K, batched(sub_e), batched(sub_l), topo.n_pad
             )
     if region_b == "all":
         B_neu = A_neu
@@ -67,20 +68,20 @@ def neumann_matrices(p, region_b: str = "overlap"):
         for dofs, K in groups:
             sub_e2, sub_l2 = subdomain_stamp_lists(dofs, topo, dof_mask=ovlp_mask)
             B_neu = B_neu + neumann_dense(
-                K, jnp.asarray(sub_e2), jnp.asarray(sub_l2), topo.n_pad
+                K, batched(sub_e2), batched(sub_l2), topo.n_pad
             )
 
     # same variables as the global operator (Jacobi equilibration is a
     # congruence transform: scale rows+cols by the gathered scale vector)
     if p.scale is not None:
-        s_sub = gather_subdomain(p.scale, jnp.asarray(topo.sub2glob))
+        s_sub = gather_subdomain(p.scale, batched(topo.sub2glob))
         A_neu = A_neu * s_sub[:, :, None] * s_sub[:, None, :]
         B_neu = B_neu * s_sub[:, :, None] * s_sub[:, None, :]
 
     dmask_sub = gather_subdomain(
-        p.disc.dirichlet_mask.astype(jnp.float64), jnp.asarray(topo.sub2glob)
+        p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
     ) > 0
-    pad = ~jnp.asarray(topo.valid)
+    pad = ~batched(topo.valid)
     A_neu = eliminate_dirichlet_dense(A_neu, dmask_sub, unit_diag_padding=pad)
     B_neu = eliminate_dirichlet_dense(B_neu, dmask_sub)
     return A_neu, B_neu
@@ -96,12 +97,12 @@ def dirichlet_dense(p):
     topo = p.topo
     lc = extraction_map(topo, np.asarray(p.A.colsT).T)
     A_dir = extract_subdomain_dense(
-        p.A, jnp.asarray(topo.sub2glob), jnp.asarray(topo.valid), jnp.asarray(lc)
+        p.A, batched(topo.sub2glob), batched(topo.valid), batched(lc)
     )
     dmask_sub = gather_subdomain(
-        p.disc.dirichlet_mask.astype(jnp.float64), jnp.asarray(topo.sub2glob)
+        p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
     ) > 0
-    dmask_sub = dmask_sub & jnp.asarray(topo.valid)
+    dmask_sub = dmask_sub & batched(topo.valid)
     return A_dir, dmask_sub
 
 
@@ -115,14 +116,14 @@ def region_neumann(p, dof_mask):
     A = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
     for dofs, K in groups:
         se, sl = subdomain_stamp_lists(dofs, topo, dof_mask=np.asarray(dof_mask))
-        A = A + neumann_dense(K, jnp.asarray(se), jnp.asarray(sl), topo.n_pad)
+        A = A + neumann_dense(K, batched(se), batched(sl), topo.n_pad)
     if p.scale is not None:
-        s_sub = gather_subdomain(p.scale, jnp.asarray(topo.sub2glob))
+        s_sub = gather_subdomain(p.scale, batched(topo.sub2glob))
         A = A * s_sub[:, :, None] * s_sub[:, None, :]
     dmask_sub = gather_subdomain(
-        p.disc.dirichlet_mask.astype(jnp.float64), jnp.asarray(topo.sub2glob)
+        p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
     ) > 0
-    A = eliminate_dirichlet_dense(A, dmask_sub & jnp.asarray(topo.valid))
+    A = eliminate_dirichlet_dense(A, dmask_sub & batched(topo.valid))
     return A
 
 
@@ -138,12 +139,12 @@ def algebraic_neumann(p):
     ell = p.A
     lc = extraction_map(topo, np.asarray(ell.colsT).T)
     A_dir = extract_subdomain_dense(
-        ell, jnp.asarray(topo.sub2glob), jnp.asarray(topo.valid), jnp.asarray(lc)
+        ell, batched(topo.sub2glob), batched(topo.valid), batched(lc)
     )
     # row sums of |A[i, j]| for j OUTSIDE the subdomain: total |row| minus
     # in-subdomain |row|
     n = ell.n
-    rows = jnp.minimum(jnp.asarray(topo.sub2glob), n - 1)
+    rows = jnp.minimum(batched(topo.sub2glob), n - 1)
     row_vals, _ = ell.rows_dense_gather(rows)  # (n_sub, n_pad, m)
     abs_vals = jnp.abs(row_vals)
     total = abs_vals.sum(axis=2)
@@ -151,9 +152,9 @@ def algebraic_neumann(p):
     # the diagonal appears in both; difference = off-subdomain couplings
     corr = total - inside
     dmask_sub = gather_subdomain(
-        p.disc.dirichlet_mask.astype(jnp.float64), jnp.asarray(topo.sub2glob)
+        p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
     ) > 0
-    corr = jnp.where(dmask_sub | ~jnp.asarray(topo.valid), 0.0, corr)
+    corr = jnp.where(dmask_sub | ~batched(topo.valid), 0.0, corr)
     eye = jnp.eye(topo.n_pad, dtype=A_dir.dtype)
     return A_dir - eye[None] * corr[:, :, None], A_dir
 
@@ -171,7 +172,7 @@ def geneo_coarse_space(
         else ("constraint_geneo" if constrained else "geneo")
     )
     params = EigensolverParams.from_ptree(ptree.sub(f"{prefix}.eigensolver"))
-    pou = jnp.asarray(p.pou)
+    pou = batched(p.pou)
     if algebraic:
         # reference (disabled AlgebraicGenEOCoarseSpace, coarse_spaces.hh:
         # 369-377): lhs = algebraic Neumann, rhs = overlapping Dirichlet
@@ -204,7 +205,7 @@ def geneo_coarse_space(
 
         with scoped("Eigensolver", "constraint solve"):
             A_dir, _ = dirichlet_dense(p)
-            interior = jnp.asarray(p.topo.valid & ~np.asarray(p.topo.boundary))
+            interior = batched(p.topo.valid & ~np.asarray(p.topo.boundary))
             V = energy_minimal_extension(A_dir, interior, V)
             V = jnp.where(active[:, :, None], V, 0.0)
-    return finalize_basis(V, pou, jnp.asarray(p.topo.valid), active)
+    return finalize_basis(V, pou, batched(p.topo.valid), active)

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from ..core.mesh import batched
 import numpy as np
 
 from ..config import ParamTree
@@ -27,13 +29,13 @@ def harmonic_extension_coarse_space(p, ptree: ParamTree):
     seed = ptree.get("seed", 1)
 
     A_dir, dmask = dirichlet_dense(p)
-    boundary = jnp.asarray(topo.valid & np.asarray(topo.boundary))
-    interior = jnp.asarray(topo.valid) & ~boundary
+    boundary = batched(topo.valid & np.asarray(topo.boundary))
+    interior = batched(topo.valid) & ~boundary
 
     rng = np.random.default_rng(seed)
-    data = jnp.asarray(rng.normal(size=(topo.n_sub, nev, topo.n_pad)))
+    data = batched(rng.normal(size=(topo.n_sub, nev, topo.n_pad)))
     data = jnp.where(boundary[:, None, :], data, 0.0)
     V = energy_minimal_extension(A_dir, interior, data)
-    V = jnp.where(jnp.asarray(topo.valid)[:, None, :], V, 0.0)
+    V = jnp.where(batched(topo.valid)[:, None, :], V, 0.0)
     active = jnp.ones((topo.n_sub, nev), bool)
-    return finalize_basis(V, jnp.asarray(p.pou), jnp.asarray(topo.valid), active)
+    return finalize_basis(V, batched(p.pou), batched(topo.valid), active)

@@ -22,6 +22,8 @@ Variants (wired as in examples/pdelab_schwarz.hh:102-135):
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..core.mesh import batched
 import numpy as np
 
 from ..config import ParamTree
@@ -35,7 +37,7 @@ from .geneo import algebraic_neumann, dirichlet_dense, neumann_matrices
 def msgfem_coarse_space(p, ptree: ParamTree, variant: str = "msgfem"):
     topo = p.topo
     params = EigensolverParams.from_ptree(ptree.sub(f"{variant}.eigensolver"))
-    pou = jnp.asarray(p.pou)
+    pou = batched(p.pou)
     valid = topo.valid
 
     A_dir, dmask = dirichlet_dense(p)
@@ -55,22 +57,22 @@ def msgfem_coarse_space(p, ptree: ParamTree, variant: str = "msgfem"):
     else:
         raise ValueError(variant)
 
-    nd = jnp.asarray(valid & ~dmask_np)
+    nd = batched(valid & ~dmask_np)
     keep = nd[:, :, None] & nd[:, None, :]
     A_nrg = jnp.where(keep, A_nrg, 0.0)
 
     # rhs weight: POU-scaled A_nrg restricted to interior-interior pairs
-    im = jnp.asarray(int_mask)
+    im = batched(int_mask)
     keep_int = im[:, :, None] & im[:, None, :]
     B = jnp.where(keep_int, A_nrg * pou[:, :, None] * pou[:, None, :], 0.0)
 
-    H = harmonic_parameter_basis(A_dir, im, jnp.asarray(par_mask))
+    H = harmonic_parameter_basis(A_dir, im, batched(par_mask))
     Ahat = jnp.einsum("spk,spq,sql->skl", H, A_nrg, H)
     Bhat = jnp.einsum("spk,spq,sql->skl", H, B, H)
-    par = jnp.asarray(par_mask)
+    par = batched(par_mask)
     Ahat = Ahat + jnp.eye(topo.n_pad)[None] * (~par)[:, :, None]
     spd = variant != "algebraic_msgfem"
     lam, W, active = solve_gevp_dense(Ahat, Bhat, params, spd=spd)
     V = jnp.einsum("spq,skq->skp", H, W)
-    V = jnp.where(jnp.asarray(valid)[:, None, :], V, 0.0)
-    return finalize_basis(V, pou, jnp.asarray(valid), active)
+    V = jnp.where(batched(valid)[:, None, :], V, 0.0)
+    return finalize_basis(V, pou, batched(valid), active)

@@ -9,6 +9,8 @@ templates {1, x, y, xy} zeroed at constraints (twolevel_schwarz.hh:47-55).
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..core.mesh import batched
 import numpy as np
 
 from ..core.indexmaps import DDMTopology
@@ -29,14 +31,14 @@ def pou_coarse_space(
     if templates is None:
         templates = [jnp.ones(topo.n_glob)]
     nev = len(templates)
-    T = jnp.stack([jnp.asarray(t) for t in templates])  # (nev, n)
+    T = jnp.stack([batched(t) for t in templates])  # (nev, n)
     if dirichlet_mask is not None:
-        T = jnp.where(jnp.asarray(dirichlet_mask)[None, :], 0.0, T)
+        T = jnp.where(batched(dirichlet_mask)[None, :], 0.0, T)
     Tp = jnp.concatenate([T, jnp.zeros((nev, 1))], axis=1)
     V_raw = Tp[:, topo.sub2glob].transpose(1, 0, 2)  # (n_sub, nev, n_pad)
-    valid = jnp.asarray(topo.valid)
+    valid = batched(topo.valid)
     active = jnp.ones((topo.n_sub, nev), bool)
-    return finalize_basis(V_raw, jnp.asarray(pou), valid, active)
+    return finalize_basis(V_raw, batched(pou), valid, active)
 
 
 def rigid_body_modes(nodes: np.ndarray, n_comp: int) -> list:
@@ -50,7 +52,7 @@ def rigid_body_modes(nodes: np.ndarray, n_comp: int) -> list:
     x = nodes
 
     def vec(field):
-        return jnp.asarray(_np.ascontiguousarray(field.reshape(-1)))
+        return batched(_np.ascontiguousarray(field.reshape(-1)))
 
     modes = []
     for c in range(d):

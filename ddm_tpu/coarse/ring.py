@@ -25,6 +25,8 @@ dense batch:
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..core.mesh import batched
 import numpy as np
 
 from ..config import ParamTree
@@ -54,7 +56,7 @@ def geneo_ring_coarse_space(p, ptree: ParamTree):
 
     topo = p.topo
     params = EigensolverParams.from_ptree(ptree.sub("geneo_ring.eigensolver"))
-    pou = jnp.asarray(p.pou)
+    pou = batched(p.pou)
     valid = topo.valid
     local_cols = extraction_map(topo, np.asarray(p.A.colsT).T)
 
@@ -70,30 +72,30 @@ def geneo_ring_coarse_space(p, ptree: ParamTree):
     # ring Neumann matrix (ExtendedOverlap region)
     A_ring = region_neumann(p, ring)
     # restrict the pencil to ring dofs: identity rows in A, zero in C
-    ring_j = jnp.asarray(ring)
+    ring_j = batched(ring)
     off = ~ring_j
     eye = jnp.eye(topo.n_pad)
     keep = ring_j[:, :, None] & ring_j[:, None, :]
     A_eig = jnp.where(keep, A_ring, 0.0) + eye[None] * off[:, :, None]
 
-    mod_pou = jnp.where(jnp.asarray(ring & ~irb), pou, 0.0)
+    mod_pou = jnp.where(batched(ring & ~irb), pou, 0.0)
     C = scale_matrix_with_pou(jnp.where(keep, A_ring, 0.0), mod_pou)
 
     lam, V_ring, active = solve_gevp(A_eig, C, params)
 
     A_dir, dmask = dirichlet_dense(p)
-    data = jnp.where(jnp.asarray(inside_rb)[:, None, :], V_ring, 0.0)
-    ext = energy_minimal_extension(A_dir, jnp.asarray(ext_free), data)
-    combined = jnp.where(jnp.asarray(ext_free)[:, None, :], ext, V_ring)
-    combined = jnp.where(jnp.asarray(valid)[:, None, :], combined, 0.0)
-    return finalize_basis(combined, pou, jnp.asarray(valid), active)
+    data = jnp.where(batched(inside_rb)[:, None, :], V_ring, 0.0)
+    ext = energy_minimal_extension(A_dir, batched(ext_free), data)
+    combined = jnp.where(batched(ext_free)[:, None, :], ext, V_ring)
+    combined = jnp.where(batched(valid)[:, None, :], combined, 0.0)
+    return finalize_basis(combined, pou, batched(valid), active)
 
 
 def msgfem_ring_coarse_space(p, ptree: ParamTree):
     topo = p.topo
     params = EigensolverParams.from_ptree(ptree.sub("msgfem_ring.eigensolver"))
     shrink = ptree.sub("pou").get("shrink", 0)
-    pou = jnp.asarray(p.pou)
+    pou = batched(p.pou)
     valid = topo.valid
     ov = topo.overlap
     ring_width = 2 * ov - 2 * shrink
@@ -108,21 +110,21 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree):
     int_class = ring & ~bnd_class & ~dmask_np
 
     A_ring = region_neumann(p, ring)
-    ring_j = jnp.asarray(ring & ~dmask_np)
+    ring_j = batched(ring & ~dmask_np)
     keep = ring_j[:, :, None] & ring_j[:, None, :]
     A_r = jnp.where(keep, A_ring, 0.0)
 
     # mod_pou zeroed at bdist >= shrink + ring_width (coarse_spaces.hh:971-973)
-    mod_pou = jnp.where(jnp.asarray(topo.bdist < shrink + ring_width), pou, 0.0)
+    mod_pou = jnp.where(batched(topo.bdist < shrink + ring_width), pou, 0.0)
     B = scale_matrix_with_pou(A_r, mod_pou)
 
     # reduced GEVP on the A-harmonic (w.r.t. A_ring) space
     H = harmonic_parameter_basis(A_r + jnp.eye(topo.n_pad)[None] *
                                  (~ring_j)[:, :, None],
-                                 jnp.asarray(int_class), jnp.asarray(bnd_class))
+                                 batched(int_class), batched(bnd_class))
     Ahat = jnp.einsum("spk,spq,sql->skl", H, A_r, H)
     Bhat = jnp.einsum("spk,spq,sql->skl", H, B, H)
-    par = jnp.asarray(bnd_class)
+    par = batched(bnd_class)
     Ahat = Ahat + jnp.eye(topo.n_pad)[None] * (~par)[:, :, None]
     lam, W, active = solve_gevp(Ahat, Bhat, params)
     V_ring = jnp.einsum("spq,skq->skp", H, W)
@@ -130,8 +132,8 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree):
     # extension from the bdist == shrink + ring_width - 1 layer
     ext_bnd = valid & (topo.bdist == shrink + ring_width - 1)
     ext_free = valid & (topo.bdist > shrink + ring_width - 1)
-    data = jnp.where(jnp.asarray(ext_bnd)[:, None, :], V_ring, 0.0)
-    ext = energy_minimal_extension(A_dir, jnp.asarray(ext_free), data)
-    combined = jnp.where(jnp.asarray(ext_free)[:, None, :], ext, V_ring)
-    combined = jnp.where(jnp.asarray(valid)[:, None, :], combined, 0.0)
-    return finalize_basis(combined, pou, jnp.asarray(valid), active)
+    data = jnp.where(batched(ext_bnd)[:, None, :], V_ring, 0.0)
+    ext = energy_minimal_extension(A_dir, batched(ext_free), data)
+    combined = jnp.where(batched(ext_free)[:, None, :], ext, V_ring)
+    combined = jnp.where(batched(valid)[:, None, :], combined, 0.0)
+    return finalize_basis(combined, pou, batched(valid), active)

@@ -13,6 +13,8 @@ Config subtree ``svd_coarse_space``: ``n`` (default 10), ``mult_pou``
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..core.mesh import batched
 import numpy as np
 
 from ..config import ParamTree
@@ -30,13 +32,13 @@ def _svd_operator(p):
     dmask_np = np.asarray(dmask)
     boundary = topo.valid & np.asarray(topo.boundary) & ~dmask_np
     interior = topo.valid & ~np.asarray(topo.boundary) & ~dmask_np
-    im = jnp.asarray(interior)
-    bm = jnp.asarray(boundary)
+    im = batched(interior)
+    bm = batched(boundary)
 
     Aib = jnp.where(im[:, :, None] & bm[:, None, :], A_dir, 0.0)
     fac = factor_batched(masked_operator(A_dir, im), "lu", mode="factors")
     T = jnp.where(im[:, :, None] & bm[:, None, :], fac.solve(Aib), 0.0)
-    T = T * jnp.asarray(p.pou)[:, :, None]  # D * T (interior rows)
+    T = T * batched(p.pou)[:, :, None]  # D * T (interior rows)
     return T, im
 
 
@@ -52,7 +54,7 @@ def svd_coarse_space(p, ptree: ParamTree):
     V = jnp.where(im[:, None, :], V, 0.0)
     active = jnp.ones((topo.n_sub, nev), bool)
     if mult_pou:
-        return finalize_basis(V, jnp.asarray(p.pou), jnp.asarray(topo.valid), active)
+        return finalize_basis(V, batched(p.pou), batched(topo.valid), active)
     return CoarseBasis(V=V, active=active)
 
 

@@ -25,16 +25,108 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding
+from jax.sharding import AxisType, Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 DEFAULT_AXIS = "sub"
 
 
 def subdomain_mesh(n_devices: int | None = None, axis: str = DEFAULT_AXIS) -> Mesh:
-    """1-D device mesh over the subdomain axis."""
+    """1-D device mesh over the subdomain axis.
+
+    Auto axis type: the sharded SETUP path relies on GSPMD sharding
+    propagation from committed inputs (gathers/scatters/cholesky/eigh all
+    infer their output shardings under Auto; Explicit mode — jax.make_mesh's
+    default — instead demands per-op out_sharding annotations and rejects
+    mixed-sharding selects inside lax.linalg).  shard_map (the solve path)
+    accepts Auto meshes unchanged."""
     n = n_devices if n_devices is not None else len(jax.devices())
-    return jax.make_mesh((n,), (axis,))
+    return jax.make_mesh((n,), (axis,), axis_types=(AxisType.Auto,))
+
+
+def _auto_mesh(mesh: Mesh) -> Mesh:
+    """Auto-axis-type view of ``mesh`` (see subdomain_mesh)."""
+    if all(t == AxisType.Auto for t in mesh.axis_types):
+        return mesh
+    return Mesh(mesh.devices, mesh.axis_names,
+                axis_types=(AxisType.Auto,) * len(mesh.axis_names))
+
+
+# ---------------------------------------------------------------------------
+# Sharded setup: the production build path (extract -> factorise -> GEVP ->
+# coarse assembly) distributed over the subdomain mesh axis.
+#
+# The reference runs ALL of setup rank-parallel by construction (one
+# subdomain per MPI rank: factorization schwarz.hh:85-92, eigensolves
+# coarse_spaces.hh:319-331, coarse build galerkin_preconditioner.hh:219-349).
+# Here the equivalent is GSPMD: while a setup_sharding context is active,
+# every subdomain-batched array created through :func:`batched` is COMMITTED
+# to NamedSharding(mesh, P(axis)), and XLA partitions every downstream
+# batched op (dense extraction, Cholesky/LU, eigh, basis finalization, the
+# pairwise coarse matrix) along the batch axis — computation follows data.
+# This covers every coarse-space type and solver config without rewriting
+# the builders as shard_map bodies; cross-subdomain steps (the pairs gather,
+# the replicated coarse factor) get their collectives inserted by XLA.
+# ---------------------------------------------------------------------------
+
+_SETUP_SHARDING: list[tuple[Mesh, str, int]] = []
+
+
+class setup_sharding:
+    """Context manager activating sharded setup over ``mesh``'s ``axis``
+    for arrays with leading (subdomain-batch) dimension ``n_sub``."""
+
+    def __init__(self, mesh: Mesh, n_sub: int, axis: str = DEFAULT_AXIS):
+        n_dev = mesh.shape[axis]
+        if n_sub % n_dev:
+            raise ValueError(
+                f"subdomain count {n_sub} must divide evenly over the "
+                f"{n_dev}-device mesh axis '{axis}'"
+            )
+        self.entry = (_auto_mesh(mesh), axis, n_sub)
+
+    def __enter__(self):
+        _SETUP_SHARDING.append(self.entry)
+        return self
+
+    def __exit__(self, *exc):
+        _SETUP_SHARDING.pop()
+        return False
+
+
+def active_setup() -> tuple[Mesh, str, int] | None:
+    """(mesh, axis, n_sub) of the innermost active setup_sharding, or None."""
+    return _SETUP_SHARDING[-1] if _SETUP_SHARDING else None
+
+
+def batched(x) -> jnp.ndarray:
+    """``jnp.asarray`` that commits subdomain-batched arrays (leading dim ==
+    the active context's n_sub) to the setup sharding.  Outside a
+    setup_sharding context this is exactly ``jnp.asarray``.  Every builder
+    on the setup path converts its batched inputs through here."""
+    ctx = active_setup()
+    if ctx is not None and not isinstance(x, jax.core.Tracer):
+        # tracer guard: builders may also run under jit/shard_map (Newton
+        # refresh, the shard_map solve body) where committing is the
+        # transform's job, not ours
+        mesh, axis, n_sub = ctx
+        shape = getattr(x, "shape", None)
+        if shape is not None and len(shape) >= 1 and shape[0] == n_sub:
+            # direct device_put (host numpy lands pre-sliced per device; an
+            # already-committed jnp array with the right sharding is a no-op)
+            return jax.device_put(x, NamedSharding(mesh, P(axis)))
+    return jnp.asarray(x)
+
+
+def replicate(x) -> jnp.ndarray:
+    """Commit ``x`` replicated over the active setup mesh (identity outside a
+    context).  Used to pull small cross-subdomain quantities (the coarse
+    matrix, activity masks) out of the sharded batch before replicated
+    compute."""
+    ctx = active_setup()
+    if ctx is None or isinstance(x, jax.core.Tracer):
+        return jnp.asarray(x)
+    return jax.device_put(x, NamedSharding(ctx[0], P()))
 
 
 def with_axis(prec, axis: str | None):
@@ -126,7 +218,7 @@ def solve_sharded(
 
     fn = jax.jit(
         jax.shard_map(
-            body, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=False
+            body, mesh=mesh, in_specs=in_specs, out_specs=P(), check_vma=True
         )
     )
     return fn(ell, prec_l, b, x0)

@@ -47,7 +47,16 @@ def main(argv=None):
     with scoped("Driver", "Setup problem"):
         gs = ptree.get("gridsize", 32)
         grid = structured_grid((gs, gs))
-        disc = DGDiscretization(grid, pm.dg_heterogeneous())
+        # scripted coefficients (reference:
+        # convection_diffusion_coefficient.lua via LuaProblem)
+        coeff_file = ptree.get("coefficient_file", "")
+        if coeff_file:
+            from ..fem.scripted import load_problem
+
+            problem = load_problem(coeff_file)
+        else:
+            problem = pm.dg_heterogeneous()
+        disc = DGDiscretization(grid, problem)
         A, b, g = disc.constrained_system()
         topo, elem_part = setup_topology(
             disc, overlap=ptree.get("overlap", 1),

@@ -37,7 +37,15 @@ def main(argv=None):
         cells = (ptree.get("cells_x", 20), ptree.get("cells_y", 4),
                  ptree.get("cells_z", 6))
         grid = structured_grid(cells, (0, 0, 0), (10.0, 1.0, 1.5))
-        p = setup_problem(ptree, problem=steel_rubber_bar(), grid=grid,
+        # scripted coefficients (reference: coefficient.lua via LuaProblem)
+        coeff_file = ptree.get("coefficient_file", "")
+        if coeff_file:
+            from ..fem.scripted import load_elasticity_problem
+
+            problem = load_elasticity_problem(coeff_file)
+        else:
+            problem = steel_rubber_bar()
+        p = setup_problem(ptree, problem=problem, grid=grid,
                           parts=(ptree.get("subdomains_x", 4), 1, 1),
                           n_comp=3)
         jax.block_until_ready(p.A.valsT)

@@ -67,3 +67,47 @@ def load_problem(path: str, name: str | None = None) -> Problem:
         kwargs["b"] = b
         kwargs["symmetric"] = False
     return Problem(**kwargs)
+
+
+def load_elasticity_problem(path: str, name: str | None = None):
+    """Elasticity coefficients from a Python script (the analogue of the
+    reference's coefficient.lua + LuaProblem for linearelasticity.cc).
+
+    The script defines either ``lam``/``mu`` directly or
+    ``youngs_modulus``/``poisson_ratio`` (per-point (x, y, z) or vectorized
+    signatures), plus optional ``f``/``g``/``is_dirichlet``.  Lame
+    parameters derive from (E, nu) exactly as coefficient.lua:62-72 does.
+    """
+    import jax.numpy as jnp
+
+    from .problems import ElasticityProblem, steel_rubber_bar
+
+    ns = runpy.run_path(path)
+    default = steel_rubber_bar()
+    if "lam" in ns and "mu" in ns:
+        lam, mu = _adapt(ns["lam"]), _adapt(ns["mu"])
+    elif "youngs_modulus" in ns and "poisson_ratio" in ns:
+        E_fn = _adapt(ns["youngs_modulus"])
+        nu_fn = _adapt(ns["poisson_ratio"])
+
+        def lam(xq):
+            E, nu = E_fn(xq), nu_fn(xq)
+            return E * nu / (1.0 + nu) / (1.0 - 2.0 * nu)
+
+        def mu(xq):
+            E, nu = E_fn(xq), nu_fn(xq)
+            return E / 2.0 / (1.0 + nu)
+    else:
+        raise KeyError(
+            f"{path}: elasticity coefficient file must define lam/mu or "
+            "youngs_modulus/poisson_ratio"
+        )
+    return ElasticityProblem(
+        lam=lam,
+        mu=mu,
+        f=_adapt(ns["f"], vector_valued=True) if "f" in ns else default.f,
+        g=_adapt(ns["g"], vector_valued=True) if "g" in ns else default.g,
+        is_dirichlet=(_adapt(ns["is_dirichlet"]) if "is_dirichlet" in ns
+                      else default.is_dirichlet),
+        name=name or path,
+    )

@@ -99,11 +99,13 @@ def neumann_dense(
     Ke: (n_e, nl, nl) global element matrices; padding elements (index n_e)
     gather a zero block.
     """
+    from ..core.mesh import batched
+
     n_e, nl, _ = Ke.shape
+    n_sub, max_e = sub_elems.shape
     Kp = jnp.concatenate([Ke, jnp.zeros((1, nl, nl), Ke.dtype)])
     Ks = Kp[sub_elems]  # (n_sub, max_e, nl, nl)
-    n_sub, max_e = sub_elems.shape
-    A = jnp.zeros((n_sub, n_pad + 1, n_pad + 1), Ke.dtype)
+    A = batched(jnp.zeros((n_sub, n_pad + 1, n_pad + 1), Ke.dtype))
     s_idx = jnp.arange(n_sub)[:, None, None, None]
     r_idx = sub_locs[:, :, :, None]
     c_idx = sub_locs[:, :, None, :]

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..core.mesh import batched
 from ..core.sparse import SparseELL
 
 
@@ -38,7 +39,7 @@ def extract_subdomain_dense(
     rows = jnp.minimum(sub2glob, n - 1)
     vals, _ = ell.rows_dense_gather(rows)  # (n_sub, n_pad, m)
     vals = vals * valid[:, :, None]
-    A = jnp.zeros((n_sub, n_pad, n_pad + 1), vals.dtype)
+    A = batched(jnp.zeros((n_sub, n_pad, n_pad + 1), vals.dtype))
     k_idx = jnp.arange(n_sub)[:, None, None]
     p_idx = jnp.arange(n_pad)[None, :, None]
     A = A.at[k_idx, p_idx, local_cols].add(vals)

@@ -110,48 +110,16 @@ def _galerkin_group_block(ell, V, sub2glob, Vg, s2g_g):
     return jnp.einsum("skp,spl->skl", V, W_sub)  # (n_sub, nev, group*nev)
 
 
-def galerkin_coarse_matrix_sharded(
-    ell: SparseELL, sub2glob: jnp.ndarray, basis: CoarseBasis, axis: str
-) -> jnp.ndarray:
-    """Sharded-execution variant of :func:`galerkin_coarse_matrix`: the
-    per-device body of a shard_map over the subdomain mesh axis.
-
-    Inputs are the device-LOCAL subdomain blocks (basis.V, sub2glob of the
-    local subdomains); the global operator is replicated.  Each device scans
-    its local column block against the all-gathered full basis, then the
-    column blocks are all-gathered so every device holds the full
-    (masked) coarse matrix — replicated, ready for the replicated coarse
-    factorization (SURVEY.md §2.6 "coarse-level reduction": this replaces
-    the reference's rank-0 Gatherv + serial factor,
-    galerkin_preconditioner.hh:219-349).
-    """
-    n = ell.n
-    n_loc, nev, _ = basis.V.shape
-    V_all = jax.lax.all_gather(basis.V, axis, tiled=True)  # (n_tot, nev, p)
-    s2g_all = jax.lax.all_gather(sub2glob, axis, tiled=True)
-
-    def col_block(_, j):
-        U = scatter_add_subdomain(basis.V[j].T[None], sub2glob[j][None], n)
-        W = ell.mv(U)
-        W_sub = gather_subdomain(W, s2g_all)
-        return None, jnp.einsum("skp,spl->skl", V_all, W_sub)
-
-    _, blocks = jax.lax.scan(col_block, None, jnp.arange(n_loc))
-    E_cols = blocks.transpose(1, 2, 0, 3)  # (n_tot, nev, n_loc, nev)
-    E = jax.lax.all_gather(E_cols, axis, axis=2, tiled=True)
-    n_tot = V_all.shape[0]
-    E = E.reshape(n_tot * nev, n_tot * nev)
-    active_all = jax.lax.all_gather(basis.active, axis, tiled=True)
-    return _mask_inactive(E, active_all)
-
-
 @partial(jax.jit, static_argnames=("n_sub", "nev"))
 def _pairs_device(A_sub, V, pi, pj, m_pair, *, n_sub, nev):
     """Device half of :func:`galerkin_coarse_matrix_pairs` — a single jitted
     executable (module-level: the eager formulation paid ~50 s of one-op
     compile/dispatch warmup per build on the remote TPU backend; one fused
     executable compiles once and persists in the compile cache)."""
-    # W[i] = A^(i) V_i^T : (n_sub, n_pad, nev), narrow f64 matmul
+    # W[i] = A^(i) V_i^T : (n_sub, n_pad, nev), narrow f64 matmul — under
+    # sharded setup this (the expensive step) partitions over the subdomain
+    # axis; the pair-indexed assembly below runs on GSPMD-inferred shardings
+    # (the pair gather moves only W and V, ~MBs)
     W = jnp.einsum("spq,skq->spk", A_sub, V)
     # gather v_jl onto i's local numbering: (n_pairs, nev, n_pad)
     Vpad = jnp.concatenate([V, jnp.zeros((n_sub, nev, 1), V.dtype)], axis=2)
@@ -252,7 +220,9 @@ def _mask_inactive(E: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
     (num_t_per_rank, galerkin_preconditioner.hh:248-256); fixed shapes force
     padding here, and unit diagonal slots make the padded coarse matrix
     equivalent."""
-    a = active.reshape(-1)
+    from ..core.mesh import replicate
+
+    a = replicate(active).reshape(-1)
     E = jnp.where(a[:, None] & a[None, :], E, 0.0)
     return E + jnp.diag(jnp.where(a, 0.0, 1.0))
 
@@ -309,9 +279,10 @@ def build_galerkin(
             "using the key 'type'"
         )
     solver_type = sub.get("type")
+    from ..core.mesh import batched
     from ..obs.logger import scoped
 
-    s2g = jnp.asarray(topo.sub2glob)
+    s2g = batched(topo.sub2glob)
     with scoped("GalerkinPrec", "build Matrix"):
         if method == "pairs":
             # production fast path (see galerkin_coarse_matrix_pairs):
@@ -322,15 +293,29 @@ def build_galerkin(
 
                 lc = extraction_map(topo, np.asarray(ell.colsT).T)
                 A_sub = extract_subdomain_dense(
-                    ell, s2g, jnp.asarray(topo.valid), jnp.asarray(lc)
+                    ell, s2g, batched(topo.valid), batched(lc)
                 )
             E = galerkin_coarse_matrix_pairs(A_sub, topo, basis)
         elif method == "global":
-            E = galerkin_coarse_matrix(ell, s2g, basis)
+            # scan-of-SpMVs formulation: replicated compute under sharded
+            # setup (fallback path; the production path is 'pairs')
+            from ..core.mesh import replicate
+            import dataclasses as _dc
+
+            E = galerkin_coarse_matrix(
+                ell, replicate(s2g),
+                _dc.replace(basis, V=replicate(basis.V)),
+            )
         elif method == "local":
             if A_sub is None:
                 raise ValueError("method='local' requires the dense A_sub batch")
-            E = galerkin_coarse_matrix_local(A_sub, s2g, basis, topo.n_glob)
+            from ..core.mesh import replicate
+            import dataclasses as _dc
+
+            E = galerkin_coarse_matrix_local(
+                replicate(A_sub), replicate(s2g),
+                _dc.replace(basis, V=replicate(basis.V)), topo.n_glob,
+            )
         else:
             raise ValueError(f"unknown coarse-matrix method '{method}'")
         E = _mask_inactive(E, basis.active)

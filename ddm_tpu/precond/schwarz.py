@@ -91,10 +91,12 @@ def build_schwarz(
 
     from ..obs.logger import scoped
 
+    from ..core.mesh import batched
+
     local_cols = extraction_map(topo, np.asarray(ell.colsT).T)
-    local_cols_j = jnp.asarray(local_cols)
-    sub2glob_j = jnp.asarray(topo.sub2glob)
-    valid_j = jnp.asarray(topo.valid)
+    local_cols_j = batched(local_cols)
+    sub2glob_j = batched(topo.sub2glob)
+    valid_j = batched(topo.valid)
     with scoped("Schwarz", "extract"):
         A_sub = extract_subdomain_dense(ell, sub2glob_j, valid_j, local_cols_j)
         if modify:
@@ -104,7 +106,7 @@ def build_schwarz(
             from ..fem.subassembly import eliminate_dirichlet_dense
 
             A_sub = eliminate_dirichlet_dense(
-                A_sub, jnp.asarray(topo.boundary) & valid_j
+                A_sub, batched(topo.boundary) & valid_j
             )
         A_sub.block_until_ready()
     with scoped("Schwarz", "factorise"):
@@ -163,15 +165,15 @@ def build_schwarz(
     if type_string == "restricted":
         if pou is None:
             raise ValueError("restricted Schwarz requires a partition of unity")
-        pou_arr = jnp.asarray(pou)
+        pou_arr = batched(pou)
     else:
-        pou_arr = jnp.ones(topo.sub2glob.shape, A_sub.dtype)
+        pou_arr = batched(np.ones(topo.sub2glob.shape))
 
     from ..core.indexmaps import dual_scatter_map
 
     return SchwarzPreconditioner(
-        sub2glob=jnp.asarray(topo.sub2glob),
-        valid=jnp.asarray(topo.valid),
+        sub2glob=sub2glob_j,
+        valid=valid_j,
         pou=pou_arr,
         factors=factors,
         dualT=jnp.asarray(dual_scatter_map(topo)),

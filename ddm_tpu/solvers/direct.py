@@ -286,18 +286,39 @@ def chunked_batch(fn, *arrays, chunk: int | None = None):
 
     All ``arrays`` are split along axis 0.  fn should be jitted by the
     caller; identical chunk shapes reuse one compilation (remainders compile
-    a second shape)."""
+    a second shape).
+
+    Under an active setup_sharding context (core/mesh.py) the chunk budget is
+    per-DEVICE — each device only materialises its 1/n_dev slice of a chunk —
+    so the effective chunk scales by the mesh size, and each chunk slice is
+    re-committed to the subdomain sharding so XLA keeps partitioning the
+    batched op."""
+    from ..core.mesh import active_setup
+
     A = arrays[0]
     n = A.shape[0]
+    ctx = active_setup()
+    n_dev = ctx[0].shape[ctx[1]] if ctx is not None else 1
     if chunk is None:
-        chunk = batch_chunk_size(A.shape[-1], A.dtype.itemsize)
+        chunk = batch_chunk_size(A.shape[-1], A.dtype.itemsize) * n_dev
+    if ctx is not None:
+        # keep every chunk evenly sharded over the mesh axis
+        chunk = max(n_dev, chunk - chunk % n_dev)
     if chunk >= n:
         return fn(*arrays)
     outs = []
     i = 0
     while i < n:
         j = min(i + chunk, n)
-        outs.append(fn(*(a[i:j] for a in arrays)))
+        piece = tuple(a[i:j] for a in arrays)
+        if ctx is not None and (j - i) % n_dev == 0:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            mesh, axis, _ = ctx
+            sh = NamedSharding(mesh, P(axis))
+            piece = tuple(jax.device_put(x, sh) for x in piece)
+        outs.append(fn(*piece))
         i += chunk
     return jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *outs
