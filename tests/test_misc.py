@@ -53,6 +53,24 @@ def test_example_smoke_poisson(tmp_path):
     assert (tmp_path / "o.vtu").exists()
 
 
+def test_visualise_debug_fields(tmp_path):
+    """VTK debug parity with poisson.cc:324-386: per-basis-vector fields of
+    the debug subdomain, its POU/overlap indicator, the RHS, and the ring
+    region (all-zero for non-ring coarse spaces)."""
+    import re
+
+    from ddm_tpu.examples.poisson import main
+
+    f = tmp_path / "dbg.vtu"
+    main(["-gridsize", "16", "-subdomains", "4", "-visualise", "true",
+          "-coarsespace.type", "geneo", "-geneo.eigensolver.nev", "2",
+          "-geneo.eigensolver.threshold", "-1", "-debug_rank", "1",
+          "-vtk_filename", str(f)])
+    names = set(re.findall(r'Name="([^"]+)"', f.read_text()))
+    assert {"solution", "rhs", "pou", "pou_sum", "ovlp_subdomain",
+            "basis_vec_0000", "basis_vec_0001", "ring_region"} <= names
+
+
 def test_example_smoke_scripted(tmp_path):
     from ddm_tpu.examples.poisson import main
 
