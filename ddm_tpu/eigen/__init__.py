@@ -9,6 +9,13 @@ from .params import EigensolverParams  # noqa: F401
 _DENSE_NAMES = {"spectra", "dense"}
 _ITERATIVE_NAMES = {"krylovschur", "lobpcg", "lanczos", "blocklanczos"}
 
+# Dense/iterative crossover for eigensolver.type=auto, in subdomain size p.
+# Measured on TPU v5e (scratch/lobpcg_crossover_r3.py, real islands GenEO
+# pencils, nev 8): dense wins at p<=1700 where the one-shot congruence
+# transform rides the f32 MXU; LOBPCG's ~linear-in-p iteration cost takes
+# over as eigh's O(p^3) dominates.  Numbers recorded in BASELINE.md.
+AUTO_CROSSOVER_P = 2048
+
 
 def solve_gevp(A, C, params: EigensolverParams, spd: bool = True,
                prec_inv=None):
@@ -23,8 +30,14 @@ def solve_gevp(A, C, params: EigensolverParams, spd: bool = True,
       reference's adaptive nev/threshold escalation (lobpcg.py) — for
       subdomains large enough that the O(p^3) eigh dominates.  spd=False
       pencils (indefinite DG Neumann sums) must use the dense path.
+    * ``auto``: dense for p <= AUTO_CROSSOVER_P or non-SPD pencils, else
+      LOBPCG (the measured TPU crossover; no reference analogue — its
+      Spectra path is the only one implemented, eigensolvers.hh:14-38).
     """
     t = params.type.lower()
+    if t == "auto":
+        p = A.shape[-1]
+        t = "spectra" if (p <= AUTO_CROSSOVER_P or not spd) else "lobpcg"
     if t in _DENSE_NAMES:
         return solve_gevp_dense_jit(A, C, params, spd=spd)
     if t in _ITERATIVE_NAMES:

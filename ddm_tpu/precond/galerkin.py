@@ -39,6 +39,7 @@ from ..config import ParamTree
 from ..core.indexmaps import DDMTopology
 from ..core.sparse import SparseELL
 from ..coarse.basis import CoarseBasis
+from ..solvers.direct import bmv
 from ..solvers.direct import factor_batched
 from .extract import gather_subdomain, scatter_add_subdomain
 
@@ -242,7 +243,9 @@ class GalerkinPreconditioner:
         n = d.shape[0]
         n_sub, nev, _ = self.V.shape
         d_sub = gather_subdomain(d, self.sub2glob)
-        alpha = jnp.einsum("skp,sp->sk", self.V, d_sub)  # restriction
+        # restriction: single-defect contraction as multiply+reduce (bmv) —
+        # the f64-emulated dot_general is ~100x slower at 1-wide output
+        alpha = bmv(self.V, d_sub)
         if self.axis is not None:
             # subdomain-sharded execution: collect the full coarse defect,
             # solve replicated, keep the local block
@@ -254,7 +257,7 @@ class GalerkinPreconditioner:
             )
         else:
             beta = self.coarse.solve(alpha.reshape(1, -1))[0].reshape(n_sub, nev)
-        x_sub = jnp.einsum("skp,sk->sp", self.V, beta)  # prolongation
+        x_sub = (self.V * beta[:, :, None]).sum(axis=1)  # prolongation
         dualT = self.dualT if self.axis is None else None
         x = scatter_add_subdomain(x_sub, self.sub2glob, n, dualT=dualT)
         if self.axis is not None:

@@ -86,17 +86,34 @@ class BatchedQR:
         return x[..., 0] if squeeze else x
 
 
+def bmv(M: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Batched matvec (..., p, q) @ (..., q) -> (..., p) as an elementwise
+    multiply + lane reduction instead of dot_general.
+
+    f64 dot_general is software-emulated on TPU v5e; with a 1-wide output it
+    runs ~100 ms at (256, 848, 848) where the same contraction written as
+    multiply + reduce fuses into one bandwidth-bound VPU pass (sub-ms at
+    that shape; measured round 3, scratch/matvec_formulations_r3.py).  Use
+    for every single-RHS f64 matvec on the apply path; multi-RHS (wide)
+    matmuls stay dot_general (the MXU amortizes the emulation).  Summation
+    order differs from dot_general by reduction tiling only — same f64
+    arithmetic."""
+    return (M * x[..., None, :]).sum(axis=-1)
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class BatchedInverse:
-    """Explicit subdomain inverses: apply = one batched matmul on the MXU.
+    """Explicit subdomain inverses: apply = one batched matvec pass.
 
     Single-RHS triangular substitution is sequential (p steps) and runs two
-    orders of magnitude slower on TPU than a (n_sub, p, p) x (n_sub, p)
-    matmul, which is pure MXU work at HBM bandwidth.  The inverse is formed
-    once at setup from the triangular factors (multi-RHS solve against I —
-    itself MXU-friendly); for Cholesky it is built as L^{-T} L^{-1} so the
-    preconditioner stays exactly symmetric for CG.
+    orders of magnitude slower on TPU than applying a precomputed inverse,
+    which is one HBM-bandwidth pass over (n_sub, p, p).  The inverse is
+    formed once at setup from the triangular factors (multi-RHS solve
+    against I — MXU-friendly); for Cholesky it is built as L^{-T} L^{-1} so
+    the preconditioner stays exactly symmetric for CG.  Single-RHS applies
+    use :func:`bmv` (VPU multiply+reduce; the f64-emulated dot_general is
+    ~100x slower at 1-wide output), multi-RHS applies stay matmuls.
 
     Accuracy note: applying an explicit inverse carries a cond(A)*eps error
     per apply — harmless for a *preconditioner* (it only nudges iteration
@@ -108,7 +125,7 @@ class BatchedInverse:
     def solve(self, b: jnp.ndarray) -> jnp.ndarray:
         bc = b.astype(self.inv.dtype)
         if b.ndim == 2:
-            out = jnp.einsum("spq,sq->sp", self.inv, bc)
+            out = bmv(self.inv, bc)
         else:
             out = jnp.einsum("spq,sqk->spk", self.inv, bc)
         return out.astype(b.dtype)

@@ -74,8 +74,16 @@ class KrylovResult(NamedTuple):
     breakdown: jnp.ndarray = False
 
 
+def _dot(x, y):
+    """f64 scalar product as multiply + reduce.  jnp.vdot lowers to a
+    dot_general, which is software-emulated for f64 on TPU and ~100x slower
+    at 1-wide output than the fused elementwise pass (measured round 3,
+    scratch/matvec_formulations_r3.py); everything here is real."""
+    return (x * y).sum()
+
+
 def _norm(x):
-    return jnp.sqrt(jnp.real(jnp.vdot(x, x)))
+    return jnp.sqrt(_dot(x, x))
 
 
 def _dd_Vw(Vh, Vl, w):
@@ -104,7 +112,7 @@ def masked_dot(x, y, mask):
     MaskedScalarProduct, dune/ddm/helpers.hh:341-375 — used to exclude
     constrained/ghost dofs from convergence norms)."""
     m = mask.astype(x.dtype)
-    return jnp.vdot(x * m, y)
+    return _dot(x * m, y)
 
 
 def masked_norm(x, mask):
@@ -130,7 +138,7 @@ def cg_solve(
 
     r = b - op(x0)
     p = prec(r)
-    rho = jnp.vdot(p, r)
+    rho = _dot(p, r)
     def0 = _norm(r)
     hist0 = jnp.full((maxit + 1,), jnp.nan, b.dtype).at[0].set(def0)
 
@@ -143,14 +151,14 @@ def cg_solve(
     def body(state):
         x, r, p, rho, defect, it, hist = state
         q = op(p)
-        alpha = rho / jnp.vdot(p, q)
+        alpha = rho / _dot(p, q)
         x = x + alpha * p
         r = r - alpha * q
         defect = _norm(r)
         it = it + 1
         hist = hist.at[it].set(defect)
         z = prec(r)
-        rho2 = jnp.vdot(z, r)
+        rho2 = _dot(z, r)
         beta = rho2 / rho
         p = z + beta * p
         return (x, r, p, rho2, defect, it, hist)
@@ -240,10 +248,13 @@ def gmres_solve(
                     c2 = _dd_Vw(Vh, Vl, w)[:, None] * mask
                     w = w - _dd_cV(c2[:, 0], Vh, Vl)
                 else:
-                    c1 = (V @ w)[:, None] * mask
-                    w = w - (c1[:, 0] @ V)
-                    c2 = (V @ w)[:, None] * mask
-                    w = w - (c2[:, 0] @ V)
+                    # V @ w and c @ V as multiply+reduce: the f64
+                    # dot_general is emulated on TPU (~100x at these
+                    # shapes, scratch/matvec_formulations_r3.py)
+                    c1 = (V * w[None, :]).sum(axis=1)[:, None] * mask
+                    w = w - (c1 * V).sum(axis=0)
+                    c2 = (V * w[None, :]).sum(axis=1)[:, None] * mask
+                    w = w - (c2 * V).sum(axis=0)
                 hcol = (c1 + c2)[:, 0]
                 hjp = _norm(w)
                 hcol = hcol.at[j + 1].set(hjp)
@@ -297,13 +308,13 @@ def gmres_solve(
             jj = k - 1 - i
 
             def do(y):
-                num = s[jj] - H[jj] @ y
+                num = s[jj] - (H[jj] * y).sum()
                 return y.at[jj].set(num / jnp.where(H[jj, jj] == 0, 1.0, H[jj, jj]))
 
             return jax.lax.cond(jj >= 0, do, lambda y: y, y)
 
         y = jax.lax.fori_loop(0, restart, back, y)
-        x = x + V[:restart].T @ y
+        x = x + (V[:restart] * y[:, None]).sum(axis=0)
         return x, it, hist, defect
 
     def cond(state):
@@ -411,10 +422,13 @@ def fgmres_solve(
                     c2 = _dd_Vw(Vh, Vl, w)[:, None] * mask
                     w = w - _dd_cV(c2[:, 0], Vh, Vl)
                 else:
-                    c1 = (V @ w)[:, None] * mask
-                    w = w - (c1[:, 0] @ V)
-                    c2 = (V @ w)[:, None] * mask
-                    w = w - (c2[:, 0] @ V)
+                    # V @ w and c @ V as multiply+reduce: the f64
+                    # dot_general is emulated on TPU (~100x at these
+                    # shapes, scratch/matvec_formulations_r3.py)
+                    c1 = (V * w[None, :]).sum(axis=1)[:, None] * mask
+                    w = w - (c1 * V).sum(axis=0)
+                    c2 = (V * w[None, :]).sum(axis=1)[:, None] * mask
+                    w = w - (c2 * V).sum(axis=0)
                 hcol = (c1 + c2)[:, 0]
                 hjp = _norm(w)
                 hcol = hcol.at[j + 1].set(hjp)
@@ -455,7 +469,7 @@ def fgmres_solve(
             jj = k - 1 - i
 
             def do(y):
-                num = s[jj] - H[jj] @ y
+                num = s[jj] - (H[jj] * y).sum()
                 return y.at[jj].set(
                     num / jnp.where(H[jj, jj] == 0, 1.0, H[jj, jj])
                 )
@@ -463,7 +477,7 @@ def fgmres_solve(
             return jax.lax.cond(jj >= 0, do, lambda y: y, y)
 
         y = jax.lax.fori_loop(0, restart, back, y)
-        x = x + Z.T @ y
+        x = x + (Z * y[:, None]).sum(axis=0)
         return x, it, hist, defect
 
     def cond(state):
@@ -549,12 +563,12 @@ def bicgstab_solve(
             return (x, r, p, v, rho, alpha, omega, defect, half, hist, True)
 
         def work(_):
-            rho_new = jnp.vdot(rt, r)
+            rho_new = _dot(rt, r)
             beta = (rho_new / _safe(rho)) * (alpha / _safe(omega))
             p1 = r + beta * (p - omega * v)
             phat = prec(p1)
             v1 = op(phat)
-            h = jnp.vdot(rt, v1)
+            h = _dot(rt, v1)
             brk_h = jnp.abs(h) <= eps  # ISTL: "breakdown in BiCGSTAB - h"
 
             def abort_h(_):
@@ -577,7 +591,7 @@ def bicgstab_solve(
                 def second_half(_):
                     shat = prec(s)
                     t = op(shat)
-                    omega1 = jnp.vdot(t, s) / _safe(jnp.vdot(t, t))
+                    omega1 = _dot(t, s) / _safe(_dot(t, t))
                     x2 = x1 + omega1 * shat
                     r2 = s - omega1 * t
                     half2 = half1 + 1

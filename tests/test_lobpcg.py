@@ -100,6 +100,35 @@ def test_dispatch_krylovschur_matches_dense():
         solve_gevp(A, C, params_i, spd=False)
 
 
+def test_auto_dispatch_picks_by_subdomain_size(monkeypatch):
+    """eigensolver.type=auto: dense at/below the measured TPU crossover,
+    LOBPCG above it, dense for non-SPD pencils regardless of size (no
+    reference analogue — eigensolvers.hh:14-38 only implements Spectra)."""
+    import ddm_tpu.eigen as eig
+
+    A, C = make_pencils()  # p = 40
+    params = EigensolverParams(
+        type="auto", nev=4, threshold=-1.0, tolerance=1e-10, maxit=400
+    )
+    params_d = EigensolverParams(nev=4, threshold=-1.0)
+    lam_auto, _, _ = eig.solve_gevp(A, C, params)
+    lam_d, _, _ = eig.solve_gevp(A, C, params_d)
+    # below the crossover auto == the dense path, bit-for-bit
+    np.testing.assert_array_equal(np.asarray(lam_auto), np.asarray(lam_d))
+    # above the crossover auto == the iterative path
+    monkeypatch.setattr(eig, "AUTO_CROSSOVER_P", 8)
+    lam_i, _, _ = eig.solve_gevp(A, C, params)
+    lam_ref, _, _ = eig.solve_gevp(
+        A, C, EigensolverParams(type="lobpcg", nev=4, threshold=-1.0,
+                                tolerance=1e-10, maxit=400)
+    )
+    np.testing.assert_array_equal(np.asarray(lam_i), np.asarray(lam_ref))
+    # non-SPD pencils stay dense even above the crossover (no ValueError)
+    lam_spd, _, _ = eig.solve_gevp(A, C, params, spd=False)
+    lam_d_ind, _, _ = eig.solve_gevp(A, C, params_d, spd=False)
+    np.testing.assert_array_equal(np.asarray(lam_spd), np.asarray(lam_d_ind))
+
+
 def test_adaptive_nev_escalation():
     """threshold > 0: the block width doubles until the largest computed
     eigenvalue clears the threshold (spectra.hh:157-189 nev escalation),
