@@ -12,8 +12,54 @@ basis vector, over all subdomains) solve in one batched call.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..solvers.direct import factor_batched
+
+
+def compact_maps(mask: np.ndarray):
+    """Host-side compaction of a per-subdomain dof mask.
+
+    mask (n_sub, n_pad) bool -> (idx, cvalid, pos, r_pad) with
+    idx (n_sub, r_pad) int32 listing the masked dofs (0-padded),
+    cvalid (n_sub, r_pad) marking real slots, and pos (n_sub, n_pad) the
+    inverse map (position in idx, r_pad where unmasked).  This is the TPU
+    replacement of the reference's ring_to_subdomain index vectors
+    (examples/pdelab_helper.hh:281-400): masked regions become their own
+    dense padded batch so region eigenproblems run at region size instead
+    of masked full size."""
+    mask = np.asarray(mask, dtype=bool)
+    n_sub, n_pad = mask.shape
+    counts = mask.sum(axis=1)
+    r_pad = max(int(counts.max()), 1)
+    order = np.argsort(~mask, axis=1, kind="stable")
+    idx = order[:, :r_pad].astype(np.int32)
+    cvalid = np.arange(r_pad)[None, :] < counts[:, None]
+    idx = np.where(cvalid, idx, 0).astype(np.int32)
+    pos_full = np.empty((n_sub, n_pad), np.int32)
+    np.put_along_axis(
+        pos_full, order, np.arange(n_pad, dtype=np.int32)[None, :], axis=1
+    )
+    pos = np.where(mask, pos_full, r_pad).astype(np.int32)
+    return idx, cvalid, pos, r_pad
+
+
+def compact_mat(B: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(n_sub, p, p) -> (n_sub, r_pad, r_pad) rows/cols at ``idx``.  Both
+    gathers move whole rows (lane-friendly minor dim) with a transpose in
+    between — a column gather would run element-at-a-time on TPU."""
+    B1 = jnp.take_along_axis(B, idx[:, :, None], axis=1)
+    B2t = jnp.take_along_axis(B1.transpose(0, 2, 1), idx[:, :, None], axis=1)
+    return B2t.transpose(0, 2, 1)
+
+
+def expand_rows(Vc: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """(n_sub, k, r_pad) compact vectors -> (n_sub, k, n_pad) full-size
+    (zeros off the compacted set).  pos from :func:`compact_maps`."""
+    Vp = jnp.concatenate(
+        [Vc, jnp.zeros(Vc.shape[:2] + (1,), Vc.dtype)], axis=2
+    )
+    return jnp.take_along_axis(Vp, pos[:, None, :], axis=2)
 
 
 def masked_operator(A: jnp.ndarray, free_mask: jnp.ndarray) -> jnp.ndarray:
@@ -51,6 +97,79 @@ def energy_minimal_extension(
     Z = fac.solve(R.transpose(0, 2, 1)).transpose(0, 2, 1)
     Z = jnp.where(f[:, None, :], Z, 0.0)
     return Ub + Z
+
+
+def extension_inverse_of(fine, p, ptree) -> jnp.ndarray | None:
+    """The fine Schwarz level's explicit subdomain inverse, when it is an
+    exact f64 inverse of the same overlapping Dirichlet matrix the extension
+    would factor — i.e. when :func:`inverse_harmonic_extension` may replace
+    the extension's own factorization.  None otherwise (dd/f32 apply modes,
+    non-inverse factor modes, modified subdomain matrices, indefinite
+    problems)."""
+    from ..solvers.direct import BatchedInverse
+
+    if fine is None:
+        return None
+    if ptree.get("modify_subdomain_matrix", False):
+        return None
+    if not getattr(p.disc, "definite", True):
+        return None
+    if ptree.sub("schwarz").sub("subdomain_solver").get("type", "") not in (
+        "cholesky", "cholmod",
+    ):
+        return None
+    factors = getattr(fine, "factors", None)
+    if not isinstance(factors, BatchedInverse):
+        return None
+    if factors.inv.dtype != jnp.float64:
+        return None
+    return factors.inv
+
+
+def inverse_harmonic_extension(
+    Minv: jnp.ndarray,
+    free_mask: jnp.ndarray,
+    U_bnd: jnp.ndarray,
+    c_mask: np.ndarray,
+) -> jnp.ndarray:
+    """Energy-minimal extension through the subdomain *inverse* (Schur
+    identity) — no second factorization.
+
+    For SPD A with M = A^{-1} and dof partition {f (free), c (complement)}:
+    -A_ff^{-1} A_fc = M_fc M_cc^{-1}, so the masked extension solve
+    A_ff u_f = -A_fc u_c evaluates as u = M z with M_cc z_c = u_c, z zero
+    off c.  The Schwarz level already holds M explicitly (BatchedInverse);
+    M_cc is the (much smaller) complement block, factored batched.  The
+    reference instead pays a dedicated UMFPACK factorization of A_ii per
+    rank (energy_minimal_extension.hh:78-88).
+
+    Minv: (n_sub, p, p) the f64 explicit inverse; free_mask (n_sub, p);
+    U_bnd (n_sub, nev, p) with data read outside free_mask; c_mask: host
+    bool (n_sub, p), the complement set (valid & ~free).  Same return
+    contract as :func:`energy_minimal_extension`.
+    """
+    f = free_mask.astype(bool)
+    Ub = jnp.where(f[:, None, :], 0.0, U_bnd)
+    c_idx, cval, _pos, _c_pad = compact_maps(c_mask)
+    c_idx = jnp.asarray(c_idx)
+    cval = jnp.asarray(cval)
+    Mcc = compact_mat(Minv, c_idx)
+    keep = cval[:, :, None] & cval[:, None, :]
+    Mcc = jnp.where(keep, Mcc, 0.0) + jnp.eye(Mcc.shape[-1])[None] * (
+        ~cval
+    )[:, :, None]
+    Uc = jnp.take_along_axis(Ub, c_idx[:, None, :], axis=2)
+    Uc = jnp.where(cval[:, None, :], Uc, 0.0)
+    fac = factor_batched(Mcc, "cholesky", mode="factors")
+    Zc = fac.solve(Uc.transpose(0, 2, 1))  # (n_sub, c_pad, nev)
+    # scatter back into full-size z (zero off c), then one wide matmul
+    n_sub, p, _ = Minv.shape
+    s_idx = jnp.arange(n_sub)[:, None, None]
+    z = jnp.zeros((n_sub, p + 1, Zc.shape[-1]), Zc.dtype)
+    z = z.at[s_idx, jnp.where(cval, c_idx, p)[:, :, None],
+             jnp.arange(Zc.shape[-1])[None, None, :]].add(Zc)[:, :p]
+    U = jnp.einsum("spq,sqk->spk", Minv, z).transpose(0, 2, 1)
+    return Ub + jnp.where(f[:, None, :], U, 0.0)
 
 
 def harmonic_parameter_basis(

@@ -51,8 +51,17 @@ def _adjacent_to(
     return within & hit.any(axis=2)
 
 
-def geneo_ring_coarse_space(p, ptree: ParamTree):
+def geneo_ring_coarse_space(p, ptree: ParamTree, fine=None):
     from ..core.indexmaps import extraction_map
+    from ..obs.logger import scoped
+    from ..solvers.direct import chunked_batch
+    from .extension import (
+        compact_maps,
+        compact_mat,
+        expand_rows,
+        extension_inverse_of,
+        inverse_harmonic_extension,
+    )
 
     topo = p.topo
     params = EigensolverParams.from_ptree(ptree.sub("geneo_ring.eigensolver"))
@@ -69,23 +78,42 @@ def geneo_ring_coarse_space(p, ptree: ParamTree):
     # extension free set: interior + inner ring boundary
     ext_free = not_ring | irb
 
-    # ring Neumann matrix (ExtendedOverlap region)
-    A_ring = region_neumann(p, ring)
-    # restrict the pencil to ring dofs: identity rows in A, zero in C
-    ring_j = batched(ring)
-    off = ~ring_j
-    eye = jnp.eye(topo.n_pad)
-    keep = ring_j[:, :, None] & ring_j[:, None, :]
-    A_eig = jnp.where(keep, A_ring, 0.0) + eye[None] * off[:, :, None]
+    # compact the pencil to ring size: the reference's whole point for rings
+    # is the smaller eigenproblem (coarse_spaces.hh:502-648); at bench scale
+    # the ring is ~0.55x the padded subdomain, so eigh costs ~0.18x
+    idx, cval, pos, _r_pad = compact_maps(ring)
+    idx_j, cval_j, pos_j = batched(idx), batched(cval), batched(pos)
+
+    with scoped("Eigensolver", "assemble Neumann"):
+        A_ring = region_neumann(p, ring)
+        A_rc = compact_mat(A_ring, idx_j)
+        del A_ring
+    keep = cval_j[:, :, None] & cval_j[:, None, :]
+    A_rc = jnp.where(keep, A_rc, 0.0)
+    A_eig = A_rc + jnp.eye(A_rc.shape[-1])[None] * (~cval_j)[:, :, None]
 
     mod_pou = jnp.where(batched(ring & ~irb), pou, 0.0)
-    C = scale_matrix_with_pou(jnp.where(keep, A_ring, 0.0), mod_pou)
+    mp_c = jnp.take_along_axis(mod_pou, idx_j, axis=1)
+    C = scale_matrix_with_pou(A_rc, mp_c)
 
-    lam, V_ring, active = solve_gevp(A_eig, C, params)
+    spd = getattr(p.disc, "definite", True)
+    with scoped("Eigensolver", "solve GEVP"):
+        jfn = lambda A_, C_: solve_gevp(A_, C_, params, spd=spd)
+        lam, V_c, active = chunked_batch(jfn, A_eig, C)
+    V_ring = expand_rows(V_c, pos_j)
 
-    A_dir, dmask = dirichlet_dense(p)
     data = jnp.where(batched(inside_rb)[:, None, :], V_ring, 0.0)
-    ext = energy_minimal_extension(A_dir, batched(ext_free), data)
+    Minv = extension_inverse_of(fine, p, ptree)
+    with scoped("Eigensolver", "extension"):
+        if Minv is not None:
+            # reuse the Schwarz level's explicit inverse (Schur identity) —
+            # no second large factorization
+            ext = inverse_harmonic_extension(
+                Minv, batched(ext_free), data, valid & ~ext_free
+            )
+        else:
+            A_dir, _dmask = dirichlet_dense(p)
+            ext = energy_minimal_extension(A_dir, batched(ext_free), data)
     combined = jnp.where(batched(ext_free)[:, None, :], ext, V_ring)
     combined = jnp.where(batched(valid)[:, None, :], combined, 0.0)
     return finalize_basis(combined, pou, batched(valid), active)

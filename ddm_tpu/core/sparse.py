@@ -23,7 +23,8 @@ reused symbolics) a pure device op here.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import dataclasses
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -37,10 +38,26 @@ class SparseELL:
 
     colsT: (m, n) int32, padding slots == n (dummy column)
     valsT: (m, n) float
+
+    Stencil fast path (offsets/fix_rows, host-detected in
+    :meth:`EllPattern.from_coo`): on this TPU backend a gather from a 1-D
+    operand executes element-at-a-time (~14 ns/element measured — the
+    (9, n) SpMV gather alone cost 18.7 ms/iter at n = 148k, round 3,
+    scratch/spmv_variants_r3.py).  When the pattern is (mostly) structured,
+    slot k's column ids are affine, ``col = row + offsets[k]``, and the
+    gather becomes ``m`` contiguous shifted slices of x — pure
+    bandwidth-bound copies.  Rows that deviate (grid boundary, ragged
+    stencils) are listed in ``fix_rows`` and recomputed exactly with the
+    general gather, then overwritten.  ``offsets is None`` (unstructured
+    pattern, >10% misaligned rows) keeps the general gather path.
     """
 
     colsT: jnp.ndarray
     valsT: jnp.ndarray
+    # static: per-slot affine column offset, or None for the general path
+    offsets: tuple | None = field(default=None, metadata=dict(static=True))
+    # (n_fix,) int32 rows where the affine pattern does not hold
+    fix_rows: jnp.ndarray | None = None
 
     @property
     def n(self) -> int:
@@ -50,14 +67,48 @@ class SparseELL:
     def m(self) -> int:
         return self.colsT.shape[0]
 
-    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = A @ x.  x: (n,) or (n, k)."""
+    def _mv_general(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.ndim == 1:
             xp = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
             return (self.valsT * xp[self.colsT]).sum(axis=0)
         xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
         # (m, n, k) gather; contract over m
         return jnp.einsum("mn,mnk->nk", self.valsT, xp[self.colsT])
+
+    def _mv_stencil(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Shift-and-multiply SpMV for affine patterns (see class docstring).
+
+        Padding slots carry value 0, so the (arbitrary) vector entry a
+        shifted read picks up there contributes nothing; misaligned rows are
+        exactly recomputed below and overwritten."""
+        n = self.n
+        w = max(1, max(abs(int(d)) for d in self.offsets))
+        pad = [(w, w)] + [(0, 0)] * (x.ndim - 1)
+        xp = jnp.pad(x, pad)
+        y = jnp.zeros_like(x)
+        for k, d in enumerate(self.offsets):
+            shifted = jax.lax.slice_in_dim(xp, w + int(d), w + int(d) + n, axis=0)
+            vk = self.valsT[k]
+            y = y + (vk[:, None] if x.ndim == 2 else vk) * shifted
+        if self.fix_rows is not None and self.fix_rows.shape[0]:
+            if x.ndim == 1:
+                xz = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
+                gathered = xz[self.colsT[:, self.fix_rows]]
+                y_fix = (self.valsT[:, self.fix_rows] * gathered).sum(axis=0)
+            else:
+                xz = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
+                gathered = xz[self.colsT[:, self.fix_rows]]
+                y_fix = jnp.einsum(
+                    "mn,mnk->nk", self.valsT[:, self.fix_rows], gathered
+                )
+            y = y.at[self.fix_rows].set(y_fix)
+        return y
+
+    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
+        """y = A @ x.  x: (n,) or (n, k)."""
+        if self.offsets is not None:
+            return self._mv_stencil(x)
+        return self._mv_general(x)
 
     def diagonal(self) -> jnp.ndarray:
         row = jnp.arange(self.n)[None, :]
@@ -91,6 +142,57 @@ class EllPattern:
     rows_csr: np.ndarray  # (nnz,) unique-entry row ids (CSR order)
     cols_csr: np.ndarray  # (nnz,) unique-entry col ids (CSR order)
     slot_csr: np.ndarray  # (nnz,) transposed ELL slot of each unique entry
+    # stencil fast path (SparseELL docstring): per-slot modal column offset
+    # + rows deviating from it; None when >10% of rows deviate
+    offsets: tuple | None = None
+    fix_rows: np.ndarray | None = None
+
+    @staticmethod
+    def _aligned_slots(urows, ucols, row_nnz, n: int, m_packed: int):
+        """Offset-aligned slot assignment (diagonal/DIA-style ELL).
+
+        Entries whose column offset ``col - row`` is common across the
+        matrix get the slot dedicated to that offset — then slot k's column
+        ids are exactly ``row + offsets[k]`` wherever present, and SpMV slot
+        reads become contiguous shifted slices for EVERY row (grid-boundary
+        rows simply leave their missing-neighbour slots as padding).  Rare
+        offsets (unstructured regions) pack into extra trailing slots and
+        their rows are recomputed exactly via ``fix_rows``.  Returns
+        (ent_slot, m, offsets, fix_rows) or None when the pattern is not
+        offset-structured (falls back to packed ELL)."""
+        off = ucols - urows
+        ovals, oinv, ocounts = np.unique(
+            off, return_inverse=True, return_counts=True
+        )
+        aligned_sel = (ocounts >= max(32, 0.05 * n)) & (
+            np.abs(ovals) <= max(1, n // 2)
+        )
+        n_aligned = int(aligned_sel.sum())
+        if not (0 < n_aligned <= 32):
+            return None
+        slot_of_oval = np.full(ovals.size, -1, np.int64)
+        slot_of_oval[aligned_sel] = np.arange(n_aligned)
+        ent_slot = slot_of_oval[oinv]
+        extra = ent_slot < 0
+        if extra.any():
+            erows = urows[extra]
+            er_nnz = np.bincount(erows, minlength=n)
+            n_extra = int(er_nnz.max())
+            estart = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(er_nnz, out=estart[1:])
+            # uniq order is row-major, so extras within a row are contiguous
+            pos_extra = np.arange(erows.size) - estart[erows]
+            ent_slot[extra] = n_aligned + pos_extra
+            fix_rows = np.unique(erows).astype(np.int32)
+        else:
+            n_extra = 0
+            fix_rows = np.zeros((0,), np.int32)
+        m = n_aligned + n_extra
+        # reject when alignment inflates storage or fix-up work too much
+        if m > m_packed + 8 or fix_rows.size > 0.1 * n:
+            return None
+        offsets = tuple(int(d) for d in ovals[aligned_sel]) + (0,) * n_extra
+        return ent_slot, m, offsets, fix_rows
 
     @staticmethod
     def from_coo(rows: np.ndarray, cols: np.ndarray, n: int) -> "EllPattern":
@@ -101,13 +203,18 @@ class EllPattern:
         urows = uniq // n
         ucols = uniq % n
         row_nnz = np.bincount(urows, minlength=n)
-        m = int(row_nnz.max()) if row_nnz.size else 1
-        row_start = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(row_nnz, out=row_start[1:])
-        pos_in_row = np.arange(uniq.size) - row_start[urows]
-        slot = pos_in_row * n + urows  # transposed flat slot
+        m_packed = int(row_nnz.max()) if row_nnz.size else 1
+        aligned = EllPattern._aligned_slots(urows, ucols, row_nnz, n, m_packed)
+        if aligned is not None:
+            ent_slot, m, offsets, fix_rows = aligned
+        else:
+            row_start = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(row_nnz, out=row_start[1:])
+            ent_slot = np.arange(uniq.size) - row_start[urows]
+            m, offsets, fix_rows = m_packed, None, None
+        slot = ent_slot * n + urows  # transposed flat slot
         ell_cols = np.full((n, m), n, dtype=np.int32)
-        ell_cols[urows, pos_in_row] = ucols
+        ell_cols[urows, ent_slot] = ucols
         return EllPattern(
             n=n,
             m=m,
@@ -116,6 +223,15 @@ class EllPattern:
             rows_csr=urows,
             cols_csr=ucols,
             slot_csr=slot,
+            offsets=offsets,
+            fix_rows=fix_rows,
+        )
+
+    def _ell_meta(self) -> dict:
+        return dict(
+            offsets=self.offsets,
+            fix_rows=None if self.offsets is None
+            else jnp.asarray(self.fix_rows),
         )
 
     # -- device-side assembly ------------------------------------------------
@@ -124,7 +240,9 @@ class EllPattern:
         flat = jnp.zeros((self.m * self.n,), coo_vals.dtype)
         flat = flat.at[jnp.asarray(self.coo2slot)].add(coo_vals.reshape(-1))
         return SparseELL(
-            colsT=jnp.asarray(self.cols.T), valsT=flat.reshape(self.m, self.n)
+            colsT=jnp.asarray(self.cols.T),
+            valsT=flat.reshape(self.m, self.n),
+            **self._ell_meta(),
         )
 
     def from_scipy_vals(self, sp_csr) -> SparseELL:
@@ -138,6 +256,7 @@ class EllPattern:
         return SparseELL(
             colsT=jnp.asarray(self.cols.T),
             valsT=jnp.asarray(vals.reshape(self.m, self.n)),
+            **self._ell_meta(),
         )
 
     def to_scipy(self, ell: SparseELL):
@@ -164,7 +283,7 @@ def jacobi_equilibrate(ell: SparseELL, b: jnp.ndarray):
     scale = jnp.where(diag > 0, 1.0 / jnp.sqrt(jnp.abs(diag)), 1.0)
     sp = jnp.concatenate([scale, jnp.zeros((1,), scale.dtype)])
     valsT = ell.valsT * scale[None, :] * sp[ell.colsT]
-    return SparseELL(colsT=ell.colsT, valsT=valsT), b * scale, scale
+    return dataclasses.replace(ell, valsT=valsT), b * scale, scale
 
 
 def eliminate_dirichlet(
@@ -186,4 +305,4 @@ def eliminate_dirichlet(
     valsT = jnp.where(row_d, jnp.where(is_diag, 1.0, 0.0), valsT)
     if symmetric:
         valsT = jnp.where(~row_d & col_d, 0.0, valsT)
-    return SparseELL(colsT=ell.colsT, valsT=valsT)
+    return dataclasses.replace(ell, valsT=valsT)

@@ -21,7 +21,7 @@ from .galerkin import build_galerkin
 from .schwarz import SchwarzPreconditioner, build_schwarz
 
 
-def build_coarse_space(p, cs_type: str, ptree: ParamTree):
+def build_coarse_space(p, cs_type: str, ptree: ParamTree, fine=None):
     """Dispatch like pdelab_schwarz.hh:93-141's coarse-space switch."""
     from ..coarse import pou_coarse_space
 
@@ -42,7 +42,9 @@ def build_coarse_space(p, cs_type: str, ptree: ParamTree):
     if cs_type == "geneo_ring":
         from ..coarse.ring import geneo_ring_coarse_space
 
-        return geneo_ring_coarse_space(p, ptree)
+        # the fine level is passed so the ring extension can reuse its
+        # explicit inverse (coarse/extension.py:inverse_harmonic_extension)
+        return geneo_ring_coarse_space(p, ptree, fine=fine)
     if cs_type in ("msgfem", "algebraic_msgfem", "msgfem_euclid"):
         from ..coarse.msgfem import msgfem_coarse_space
 
@@ -74,7 +76,7 @@ def build_two_level(p, fine: SchwarzPreconditioner | None = None):
         fine = build_schwarz(p.A, p.topo, p.pou, ptree)
     if cs_type == "none":
         return fine
-    basis = build_coarse_space(p, cs_type, ptree)
+    basis = build_coarse_space(p, cs_type, ptree, fine=fine)
     coarse_ptree = ptree if "coarse_solver.type" in ptree else None
     # every coarse space built here is POU-finalized (vanishes on subdomain
     # boundaries), so the pairwise-local coarse matrix is exact — and ~100x
