@@ -172,6 +172,41 @@ def inverse_harmonic_extension(
     return Ub + jnp.where(f[:, None, :], U, 0.0)
 
 
+def compact_cols(B: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(n_sub, p, q) -> (n_sub, p, b_pad): columns at ``idx`` (n_sub, b_pad),
+    moved through a transpose so the gather is a row gather."""
+    Bt = jnp.take_along_axis(B.transpose(0, 2, 1), idx[:, :, None], axis=1)
+    return Bt.transpose(0, 2, 1)
+
+
+def harmonic_parameter_basis_compact(
+    A_con: jnp.ndarray,
+    int_mask: jnp.ndarray,
+    par_idx: jnp.ndarray,
+    par_valid: jnp.ndarray,
+    solver_type: str = "lu",
+) -> jnp.ndarray:
+    """Column-compacted :func:`harmonic_parameter_basis`: returns
+    Hc (n_sub, p, b_pad) with u = Hc @ w for parameter data w at the dofs
+    listed in ``par_idx`` (n_sub, b_pad; ``par_valid`` marks real slots).
+    Identical math, but the solve carries b_pad right-hand sides instead of
+    p mostly-zero ones — the compaction that makes the ring-MsGFEM pencil
+    b_pad-sized (reference: the ring_dofs/reordering vectors of
+    MsGFEMRingCoarseSpace, coarse_spaces.hh:966-1096)."""
+    i = int_mask.astype(bool)
+    Aip = compact_cols(jnp.where(i[:, :, None], A_con, 0.0), par_idx)
+    Aip = jnp.where(par_valid[:, None, :], Aip, 0.0)
+    M = masked_operator(A_con, i)
+    fac = factor_batched(M, solver_type, mode="factors")
+    X = -fac.solve(Aip)
+    X = jnp.where(i[:, :, None] & par_valid[:, None, :], X, 0.0)
+    p = A_con.shape[-1]
+    E = (jnp.arange(p)[None, :, None] == par_idx[:, None, :]) & par_valid[
+        :, None, :
+    ]
+    return X + E.astype(A_con.dtype)
+
+
 def harmonic_parameter_basis(
     A_con: jnp.ndarray,
     int_mask: jnp.ndarray,

@@ -119,7 +119,18 @@ def geneo_ring_coarse_space(p, ptree: ParamTree, fine=None):
     return finalize_basis(combined, pou, batched(valid), active)
 
 
-def msgfem_ring_coarse_space(p, ptree: ParamTree):
+def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
+    from ..obs.logger import scoped
+    from ..solvers.direct import chunked_batch
+    from .extension import (
+        compact_maps,
+        compact_mat,
+        expand_rows,
+        extension_inverse_of,
+        harmonic_parameter_basis_compact,
+        inverse_harmonic_extension,
+    )
+
     topo = p.topo
     params = EigensolverParams.from_ptree(ptree.sub("msgfem_ring.eigensolver"))
     shrink = ptree.sub("pou").get("shrink", 0)
@@ -137,31 +148,64 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree):
     bnd_class = ring & (np.asarray(topo.boundary) | np.asarray(inside_rb)) & ~dmask_np
     int_class = ring & ~bnd_class & ~dmask_np
 
-    A_ring = region_neumann(p, ring)
-    ring_j = batched(ring & ~dmask_np)
-    keep = ring_j[:, :, None] & ring_j[:, None, :]
-    A_r = jnp.where(keep, A_ring, 0.0)
+    # compact everything to ring size (reference keeps ring_to_subdomain
+    # index vectors, coarse_spaces.hh:966-1096; here: host compact maps)
+    rc = ring & ~dmask_np
+    idx, cval, pos, _r_pad = compact_maps(rc)
+    idx_j, cval_j, pos_j = batched(idx), batched(cval), batched(pos)
+
+    with scoped("Eigensolver", "assemble Neumann"):
+        A_ring = region_neumann(p, ring)
+        A_rc = compact_mat(A_ring, idx_j)
+        del A_ring
+    A_rc = jnp.where(cval_j[:, :, None] & cval_j[:, None, :], A_rc, 0.0)
 
     # mod_pou zeroed at bdist >= shrink + ring_width (coarse_spaces.hh:971-973)
     mod_pou = jnp.where(batched(topo.bdist < shrink + ring_width), pou, 0.0)
-    B = scale_matrix_with_pou(A_r, mod_pou)
+    mp_c = jnp.take_along_axis(mod_pou, idx_j, axis=1)
+    B_c = scale_matrix_with_pou(A_rc, mp_c)
 
-    # reduced GEVP on the A-harmonic (w.r.t. A_ring) space
-    H = harmonic_parameter_basis(A_r + jnp.eye(topo.n_pad)[None] *
-                                 (~ring_j)[:, :, None],
-                                 batched(int_class), batched(bnd_class))
-    Ahat = jnp.einsum("spk,spq,sql->skl", H, A_r, H)
-    Bhat = jnp.einsum("spk,spq,sql->skl", H, B, H)
-    par = batched(bnd_class)
-    Ahat = Ahat + jnp.eye(topo.n_pad)[None] * (~par)[:, :, None]
-    lam, W, active = solve_gevp(Ahat, Bhat, params)
-    V_ring = jnp.einsum("spq,skq->skp", H, W)
+    int_c = jnp.take_along_axis(batched(int_class), idx_j, axis=1) & cval_j
+    par_c = jnp.take_along_axis(batched(bnd_class), idx_j, axis=1) & cval_j
+    pidx, pval, _ppos, _b_pad = compact_maps(np.asarray(par_c))
+    pidx_j, pval_j = batched(pidx), batched(pval)
+
+    with scoped("Eigensolver", "harmonic basis"):
+        A_con = A_rc + jnp.eye(A_rc.shape[-1])[None] * (~cval_j)[:, :, None]
+        Hc = harmonic_parameter_basis_compact(A_con, int_c, pidx_j, pval_j)
+
+    with scoped("Eigensolver", "reduced pencil"):
+        # Hc^T A Hc at (r_pad, b_pad) in f64: wide matmuls amortize the TPU
+        # f64 emulation (~0.1s at bench scale); a double-single (dd)
+        # formation was measured to NaN the whitened GEVP on this
+        # near-singular pencil — keep f64
+        T1 = jnp.einsum("spq,sqb->spb", A_rc, Hc)
+        Ahat = jnp.einsum("spa,spb->sab", Hc, T1)
+        T2 = jnp.einsum("spq,sqb->spb", B_c, Hc)
+        Bhat = jnp.einsum("spa,spb->sab", Hc, T2)
+        Ahat = 0.5 * (Ahat + Ahat.transpose(0, 2, 1))
+        Bhat = 0.5 * (Bhat + Bhat.transpose(0, 2, 1))
+        Ahat = Ahat + jnp.eye(Ahat.shape[-1])[None] * (~pval_j)[:, :, None]
+
+    spd = getattr(p.disc, "definite", True)
+    with scoped("Eigensolver", "solve GEVP"):
+        jfn = lambda A_, C_: solve_gevp(A_, C_, params, spd=spd)
+        lam, W, active = chunked_batch(jfn, Ahat, Bhat)
+    V_c = jnp.einsum("sqb,skb->skq", Hc, W)  # back to ring size
+    V_ring = expand_rows(V_c, pos_j)
 
     # extension from the bdist == shrink + ring_width - 1 layer
     ext_bnd = valid & (topo.bdist == shrink + ring_width - 1)
     ext_free = valid & (topo.bdist > shrink + ring_width - 1)
     data = jnp.where(batched(ext_bnd)[:, None, :], V_ring, 0.0)
-    ext = energy_minimal_extension(A_dir, batched(ext_free), data)
+    Minv = extension_inverse_of(fine, p, ptree)
+    with scoped("Eigensolver", "extension"):
+        if Minv is not None:
+            ext = inverse_harmonic_extension(
+                Minv, batched(ext_free), data, valid & ~ext_free
+            )
+        else:
+            ext = energy_minimal_extension(A_dir, batched(ext_free), data)
     combined = jnp.where(batched(ext_free)[:, None, :], ext, V_ring)
     combined = jnp.where(batched(valid)[:, None, :], combined, 0.0)
     return finalize_basis(combined, pou, batched(valid), active)

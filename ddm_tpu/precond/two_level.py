@@ -52,7 +52,7 @@ def build_coarse_space(p, cs_type: str, ptree: ParamTree, fine=None):
     if cs_type == "msgfem_ring":
         from ..coarse.ring import msgfem_ring_coarse_space
 
-        return msgfem_ring_coarse_space(p, ptree)
+        return msgfem_ring_coarse_space(p, ptree, fine=fine)
     if cs_type == "harmonic_extension":
         from ..coarse.harmonic import harmonic_extension_coarse_space
 
