@@ -19,9 +19,37 @@ classes (examples/poisson_problems.hh, convection_diffusion_problems.hh).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .grids import Grid
+
+
+def eval_coefficient(fn, x):
+    """Evaluate a coefficient callable at concrete quadrature points on the
+    host CPU backend.
+
+    The TPU backend's emulated f64 rounds differently from IEEE f64, which
+    can flip inside/outside predicates at coefficient discontinuities
+    (measured: 57 of 147k elements of the islands problem at 384^2 get a
+    different alpha on TPU than on CPU — scratch/k_diff_r3.py).  Coefficient
+    evaluation is setup-time-only and tiny, so it runs on the CPU device,
+    making the assembled operator backend-stable.  Falls through to in-place
+    evaluation for tracers (Newton re-assembly under jit) or when no CPU
+    device exists.
+    """
+    if fn is None:
+        return None
+    if isinstance(x, jax.core.Tracer) or jax.default_backend() == "cpu":
+        return fn(x)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return fn(x)
+    with jax.default_device(cpu):
+        out = fn(jax.device_put(x, cpu))
+    return jax.device_put(out, jax.devices()[0])
+
 
 # -- reference-element quadrature + shape functions --------------------------
 
@@ -235,10 +263,10 @@ def assemble_convection_diffusion(
     face fluxes (assumes div b = 0, as PDELab's ConvectionDiffusionDG does).
     """
     xq, grads, jxw = element_geometry(quad, xe)
-    alpha = alpha_fn(xq)  # (n_e, q)
+    alpha = eval_coefficient(alpha_fn, xq)  # (n_e, q)
     Ke = jnp.einsum("eq,eqig,eqjg->eij", jxw * alpha, grads, grads)
     if b_fn is not None:
-        b = b_fn(xq)  # (n_e, q, d)
+        b = eval_coefficient(b_fn, xq)  # (n_e, q, d)
         if convection_divergence_form:
             # - u_j (b . grad v_i)
             Ke = Ke - jnp.einsum(
@@ -248,10 +276,10 @@ def assemble_convection_diffusion(
             # + (b . grad u_j) v_i
             Ke = Ke + jnp.einsum("eq,qi,eqd,eqjd->eij", jxw, quad.phi, b, grads)
     if c_fn is not None:
-        c = c_fn(xq)
+        c = eval_coefficient(c_fn, xq)
         Ke = Ke + jnp.einsum("eq,qi,qj->eij", jxw * c, quad.phi, quad.phi)
     if f_fn is not None:
-        f = f_fn(xq)
+        f = eval_coefficient(f_fn, xq)
         fe = jnp.einsum("eq,qi->ei", jxw * f, quad.phi)
     else:
         fe = jnp.zeros(Ke.shape[:2], Ke.dtype)
@@ -276,8 +304,8 @@ def assemble_linear_elasticity(
     """
     xq, grads, jxw = element_geometry(quad, xe)
     n_e, q, nd, d = grads.shape
-    lam = lame_lambda_fn(xq)  # (n_e, q)
-    mu = lame_mu_fn(xq)
+    lam = eval_coefficient(lame_lambda_fn, xq)  # (n_e, q)
+    mu = eval_coefficient(lame_mu_fn, xq)
 
     # div(phi_ic) = grads[:,:,i,c]; eps(u_ic):eps(v_jk):
     # 0.5*(grad_c phi_i e_c + ...) contraction works out to
@@ -297,7 +325,7 @@ def assemble_linear_elasticity(
     # reorder (i, k; j, c) -> rows (i*d + k), cols (j*d + c)
     Ke = Kfull.transpose(0, 1, 4, 2, 3).reshape(n_e, nd * d, nd * d)
     if f_fn is not None:
-        f = f_fn(xq)  # (n_e, q, d)
+        f = eval_coefficient(f_fn, xq)  # (n_e, q, d)
         fe = jnp.einsum("eq,qi,eqc->eic", jxw, quad.phi, f).reshape(n_e, nd * d)
     else:
         fe = jnp.zeros((n_e, nd * d), Ke.dtype)

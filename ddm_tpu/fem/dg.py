@@ -40,7 +40,11 @@ import numpy as np
 import scipy.sparse as sps
 
 from ..core.sparse import EllPattern, SparseELL
-from .assemble import ElementQuadrature, assemble_convection_diffusion
+from .assemble import (
+    ElementQuadrature,
+    assemble_convection_diffusion,
+    eval_coefficient,
+)
 from .grids import ELEM_FACES, Grid
 from .problems import Problem
 
@@ -272,7 +276,7 @@ class DGDiscretization:
         gamma = self.sigma * d / h_perp
         pts = self._boundary_points(side)  # (nb, q, 2)
         is_dir = p.is_dirichlet(pts)  # (nb, q) bool
-        gq = p.g(pts)
+        gq = eval_coefficient(p.g, pts)
         if p.b is not None:
             bn = jnp.einsum("fqd,d->fq", p.b(pts), normal)
         else:
@@ -296,7 +300,7 @@ class DGDiscretization:
 
     # -- assembly ----------------------------------------------------------
     def _alpha_centers(self) -> jnp.ndarray:
-        return self.problem.alpha(self.elem_centers)
+        return eval_coefficient(self.problem.alpha, self.elem_centers)
 
     def assemble_parts(self, problem: Problem | None = None):
         """Returns (Ke_elem (n_e,4,4) volume+boundary blocks,
@@ -603,7 +607,7 @@ class SimplexDGDiscretization:
         h_perp = vol[eb] / L
         gamma = self.sigma * d / h_perp[:, None]
         is_dir = p.is_dirichlet(pts)
-        gq = p.g(pts)
+        gq = eval_coefficient(p.g, pts)
         if p.b is not None:
             bn = jnp.einsum("fqd,fd->fq", p.b(pts), nrm)
         else:
@@ -628,7 +632,7 @@ class SimplexDGDiscretization:
     # -- assembly ---------------------------------------------------------------
     def assemble_parts(self, problem: Problem | None = None):
         p = problem or self.problem
-        alpha_c = p.alpha(self.elem_centers)
+        alpha_c = eval_coefficient(p.alpha, self.elem_centers)
         Ke, fe = assemble_convection_diffusion(
             self.quad, self.xe, p.alpha, p.b, p.c, p.f,
             convection_divergence_form=True,

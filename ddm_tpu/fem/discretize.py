@@ -29,6 +29,7 @@ from .assemble import (
     assemble_convection_diffusion,
     assemble_linear_elasticity,
     element_coo_indices,
+    eval_coefficient,
 )
 from .grids import Grid
 from .problems import ElasticityProblem, Problem
@@ -82,7 +83,7 @@ class Discretization:
     @cached_property
     def dirichlet_values(self) -> jnp.ndarray:
         xs = jnp.asarray(self._node_coords)
-        g = self.problem.g(xs)
+        g = eval_coefficient(self.problem.g, xs)
         if self.n_comp == 1:
             gv = g
         else:
