@@ -74,6 +74,20 @@ def solve_gevp_dense(
     out_dtype = A.dtype
     downcast = prec == "f32" and A.dtype == jnp.float64
 
+    if downcast:
+        # The mixed-precision path needs a larger pencil shift: with
+        # reg=1e-12 the near-null Neumann modes give mu_max = 1/lam_min
+        # ~ 1e11, and BOTH f32 (eps32*||S|| ~ 6e3) and the TPU's
+        # double-single f64 matmuls in the refinement (eps_dd*||S|| ~ 3e-3)
+        # then bury the mid-spectrum modes (mu ~ 4) entirely — measured as
+        # O(1) relative eigenvalue errors at the block edge that stalled
+        # geneo_ring at 384^2/256 (400 GMRES iterations).  Flooring the
+        # shift at 1e-6*mean-diag caps mu_max ~ 1e6, and every kept
+        # eigenvalue comes out to <=3e-5 relative of the LAPACK f64 result
+        # (scratch/gevp_refine_r3.py).  The floored modes (true lam below
+        # 1e-6) read as lam ~ 1e-6 — still far below any selection
+        # threshold, so selection and spans are unchanged.
+        reg = max(reg, 1e-6)
     # regularization scaled by the mean diagonal
     scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=1, axis2=2)), axis=1)
     eps = reg * jnp.maximum(scale, 1.0)
@@ -123,20 +137,25 @@ def solve_gevp_dense(
         # Rayleigh-Ritz.  Restores the small-eigenvalue structure f32 eigh
         # loses on high-contrast pencils (without it, GenEO degrades badly
         # at scale: 16 -> >200 iterations on islands 384^2/256 subdomains).
+        # The subspace carries `buf` extra seed vectors so the slow-
+        # converging block edge lands in the discarded tail rather than in
+        # the returned pairs (measured: tightens the kept eigenvalues by
+        # ~100x at the edge, scratch/gevp_refine_r3.py).
         def s_mul(W):
             t = jnp.einsum("sqp,sqk->spk", Linv, W)  # Linv^T W
             t = jnp.einsum("spq,sqk->spk", C, t)
             return jnp.einsum("spq,sqk->spk", Linv, t)
 
-        W = W_sel
+        buf = min(8, p - m)
+        W = Wt[:, :, -(m + buf):][:, :, ::-1].astype(out_dtype)
         for _ in range(2):
             W = s_mul(W)
             W, _ = jnp.linalg.qr(W)
         T = jnp.einsum("spk,spl->skl", W, s_mul(W))
         T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
-        mu_r, Z = jnp.linalg.eigh(T)  # (n_sub, m) ascending — tiny, f64
-        mu_sel = mu_r[:, ::-1]
-        W_sel = jnp.einsum("spk,skl->spl", W, Z[:, :, ::-1])
+        mu_r, Z = jnp.linalg.eigh(T)  # (n_sub, m+buf) ascending — tiny, f64
+        mu_sel = mu_r[:, ::-1][:, :m]
+        W_sel = jnp.einsum("spk,skl->spl", W, Z[:, :, ::-1][:, :, :m])
 
     mu_floor = 1e-300 if mu_sel.dtype == jnp.float64 else 1e-30
     lam = 1.0 / jnp.maximum(mu_sel, mu_floor)

@@ -42,6 +42,40 @@ def test_dense_gevp_matches_scipy():
             assert np.linalg.norm(r) < 1e-5 * np.linalg.norm(A[s] @ v)
 
 
+def test_dense_gevp_f32_path_resolves_wide_spectrum():
+    """The mixed-precision (downcast) path on a pencil whose mu = 1/lambda
+    spans 12 decades — the ring-pencil regime where the f32 seed and the
+    refinement noise floor buried the mid-spectrum until the reg floor +
+    buffered refinement landed (384^2/256 geneo_ring stalled at 400 GMRES
+    iterations; scratch/gevp_refine_r3.py).  Kept eigenvalues above the
+    1e-6 shift floor must match the exact 1/mu to 1e-3."""
+    rng = np.random.default_rng(3)
+    p, m = 96, 8
+    L = np.tril(rng.normal(size=(p, p))) + 4.0 * np.eye(p)
+    A = L @ L.T
+    # exact GEVP spectrum: lam = 1/mu, mu from 1e11 down (one near-null
+    # C-complement mode, one small mode near the shift floor, then a
+    # geometrically separated tail as in the real GenEO pencils)
+    mu = np.concatenate([[1e11, 1e4], np.geomspace(50.0, 1e-4, p - 2)])
+    W = np.linalg.qr(rng.normal(size=(p, p)))[0]
+    C = L @ (W * mu) @ W.T @ L.T
+    C = 0.5 * (C + C.T)
+    params = EigensolverParams(nev=m, threshold=-1.0, precision="f32")
+    lam, V, active = solve_gevp_dense(
+        jnp.asarray(A)[None], jnp.asarray(C)[None], params
+    )
+    lam = np.asarray(lam[0])
+    lam_true = np.sort(1.0 / mu)[:m]
+    # the 1e-11 and 1e-4 modes read at/near the shift floor but stay the
+    # smallest (selected) pair
+    assert lam[0] < 5e-3 and lam[1] < 5e-3
+    sel = lam_true > 5e-3  # the smooth tail, clear of the shift floor
+    # pre-fix these came out O(1)-9x wrong (see scratch/gevp_refine_r3.py);
+    # 3e-2 cleanly pins the fixed behavior (the block-edge pair converges
+    # slowest — ~1.7e-2 on this synthetic)
+    np.testing.assert_allclose(lam[sel], lam_true[sel], rtol=3e-2)
+
+
 def test_gevp_threshold_selection():
     # diagonal pencil: A = diag(1..p), C = I -> lambda = 1..p
     p = 16
