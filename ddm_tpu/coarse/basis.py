@@ -50,5 +50,12 @@ def finalize_basis(
     """
     V = V_raw * pou[:, None, :] * valid[:, None, :]
     norms = jnp.sqrt(jnp.sum(V * V, axis=2, keepdims=True))
+    # drop vectors that collapsed to (near-)zero — e.g. ConstraintGenEO's
+    # harmonic correction of an island-interior mode with zero boundary
+    # trace extends to the zero vector; keeping it active makes the coarse
+    # matrix exactly singular (LU -> NaN).  1e-10 of the subdomain's
+    # largest vector is far below any meaningful coarse direction.
+    floor = 1e-10 * jnp.max(norms[:, :, 0], axis=1, keepdims=True)
+    active = active & (norms[:, :, 0] > jnp.maximum(floor, 1e-300))
     V = jnp.where(active[:, :, None], V / jnp.maximum(norms, 1e-300), 0.0)
     return CoarseBasis(V=V, active=active)

@@ -59,4 +59,23 @@ def setup_topology(
     M0 = dof_membership_from_elems(dofs, elem_part, disc.n_dofs, n_parts)
     owner = dof_owner_lowest(dofs, elem_part, disc.n_dofs)
     topo = build_topology(adj, M0, owner, overlap, pad_to=pad_to)
+    topo = _try_rect_relayout(topo, disc, pad_to)
     return topo, elem_part
+
+
+def _try_rect_relayout(topo, disc, pad_to):
+    """Adopt the structured-rect canvas layout (core/structured.py) when the
+    subdomains are uniform rectangles of a 2-D dof grid — gives the
+    bandwidth gather/scatter fast path on the apply hot loop.  Data-driven:
+    any failure of the rect checks keeps the general layout."""
+    from .structured import detect_rect_layout, relayout_rect
+
+    shape = getattr(disc.grid, "shape", None)
+    if shape is None or len(shape) != 2:
+        return topo
+    for dof_grid in ((shape[1] + 1, shape[0] + 1),
+                     (shape[0] + 1, shape[1] + 1)):
+        meta = detect_rect_layout(topo, dof_grid, pad_to=pad_to)
+        if meta is not None:
+            return relayout_rect(topo, meta)
+    return topo

@@ -238,11 +238,20 @@ class GalerkinPreconditioner:
     axis: str | None = field(default=None, metadata=dict(static=True))
     # (K, n) gather-dual of the scatter (unsharded path only)
     dualT: jnp.ndarray | None = None
+    # structured-rect canvas layout (core/structured.py): bandwidth
+    # gather/scatter, unsharded apply only
+    rect: object | None = field(default=None, metadata=dict(static=True))
 
     def apply(self, d: jnp.ndarray) -> jnp.ndarray:
+        from ..core.structured import rect_gather, rect_scatter_add
+
         n = d.shape[0]
         n_sub, nev, _ = self.V.shape
-        d_sub = gather_subdomain(d, self.sub2glob)
+        fast = self.rect is not None and self.axis is None
+        if fast:
+            d_sub = rect_gather(d, self.rect)
+        else:
+            d_sub = gather_subdomain(d, self.sub2glob)
         # restriction: single-defect contraction as multiply+reduce (bmv) —
         # the f64-emulated dot_general is ~100x slower at 1-wide output
         alpha = bmv(self.V, d_sub)
@@ -258,6 +267,8 @@ class GalerkinPreconditioner:
         else:
             beta = self.coarse.solve(alpha.reshape(1, -1))[0].reshape(n_sub, nev)
         x_sub = (self.V * beta[:, :, None]).sum(axis=1)  # prolongation
+        if fast:
+            return rect_scatter_add(x_sub, self.rect)
         dualT = self.dualT if self.axis is None else None
         x = scatter_add_subdomain(x_sub, self.sub2glob, n, dualT=dualT)
         if self.axis is not None:
@@ -340,4 +351,5 @@ def build_galerkin(
     return GalerkinPreconditioner(
         sub2glob=s2g, V=basis.V, active=basis.active, coarse=coarse,
         dualT=jnp.asarray(dual_scatter_map(topo)),
+        rect=getattr(topo, "rect", None),
     )

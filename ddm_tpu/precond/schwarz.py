@@ -47,12 +47,23 @@ class SchwarzPreconditioner:
     # (K, n) gather-dual of the scatter (indexmaps.dual_scatter_map); its flat
     # indices address the FULL subdomain batch, so it only applies unsharded
     dualT: jnp.ndarray | None = None
+    # structured-rect canvas layout (core/structured.py): bandwidth
+    # gather/scatter, unsharded apply only (the perm spans the full batch)
+    rect: object | None = field(default=None, metadata=dict(static=True))
 
     def apply(self, d: jnp.ndarray) -> jnp.ndarray:
+        from ..core.structured import rect_gather, rect_scatter_add
+
         n = d.shape[0]
-        d_sub = gather_subdomain(d, self.sub2glob)
+        fast = self.rect is not None and self.axis is None
+        if fast:
+            d_sub = rect_gather(d, self.rect)
+        else:
+            d_sub = gather_subdomain(d, self.sub2glob)
         x_sub = self.factors.solve(d_sub)
         x_sub = jnp.where(self.valid, x_sub * self.pou, 0.0)
+        if fast:
+            return rect_scatter_add(x_sub, self.rect)
         dualT = self.dualT if self.axis is None else None
         x = scatter_add_subdomain(x_sub, self.sub2glob, n, dualT=dualT)
         if self.axis is not None:
@@ -177,4 +188,5 @@ def build_schwarz(
         pou=pou_arr,
         factors=factors,
         dualT=jnp.asarray(dual_scatter_map(topo)),
+        rect=getattr(topo, "rect", None),
     )
