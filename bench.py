@@ -44,9 +44,14 @@ def build_problem(gridsize, parts, overlap, nev):
     pt["gridsize"] = gridsize
     pt["overlap"] = overlap
     pt["solver.reduction"] = 1e-8
-    pt["coarsespace.type"] = "geneo"
+    # DDM_BENCH_COARSE switches the TPU coarse space (geneo / geneo_ring /
+    # msgfem_ring / ...).  The CPU reference baseline always emulates the
+    # reference's full-GenEO algorithm, so ring runs are honest only if the
+    # iteration count stays comparable (bench asserts convergence either way).
+    cs = os.environ.get("DDM_BENCH_COARSE", "geneo")
+    pt["coarsespace.type"] = cs
     pt["coarse_solver.type"] = "cholesky"
-    pt["geneo.eigensolver.nev"] = nev
+    pt[f"{cs}.eigensolver.nev"] = nev
     # Precision mode: f64 (default) runs the emulated-f64 apply path and
     # terminates on the standard ISTL estimate.  DDM_BENCH_PRECISION=dd
     # switches to double-single applies + dd orthogonalization with

@@ -67,14 +67,25 @@ def _try_rect_relayout(topo, disc, pad_to):
     """Adopt the structured-rect canvas layout (core/structured.py) when the
     subdomains are uniform rectangles of a 2-D dof grid — gives the
     bandwidth gather/scatter fast path on the apply hot loop.  Data-driven:
-    any failure of the rect checks keeps the general layout."""
+    any failure of the rect checks keeps the general layout.
+
+    Vector-valued Q1 spaces are covered too: dof id = node*n_comp + c with
+    axis-0-fastest node numbering (fem/grids.py::nid) makes every subdomain
+    a contiguous rect of the (n_nodes_slow, n_nodes_fast*n_comp) dof grid.
+    Degree-2 spaces append mid-edge dofs after the nodes, so their dof sets
+    are never rect scans — detection fails and they keep the general path.
+    """
     from .structured import detect_rect_layout, relayout_rect
 
     shape = getattr(disc.grid, "shape", None)
     if shape is None or len(shape) != 2:
         return topo
-    for dof_grid in ((shape[1] + 1, shape[0] + 1),
-                     (shape[0] + 1, shape[1] + 1)):
+    nc = getattr(disc, "n_comp", 1)
+    # grids.py numbers nodes axis-0-fastest: flat = i0 + i1*(shape[0]+1),
+    # i.e. rows = axis 1, cols = axis 0; try the transpose too in case a
+    # caller-built grid numbered the other way round.
+    for dof_grid in ((shape[1] + 1, (shape[0] + 1) * nc),
+                     (shape[0] + 1, (shape[1] + 1) * nc)):
         meta = detect_rect_layout(topo, dof_grid, pad_to=pad_to)
         if meta is not None:
             return relayout_rect(topo, meta)

@@ -56,6 +56,42 @@ def test_rect_layout_nonsquare_parts():
     assert bool(res.converged)
 
 
+def test_rect_layout_vector_q1_elasticity():
+    """dof id = node*n_comp + c keeps subdomains contiguous rects of the
+    (n_nodes_slow, n_nodes_fast*n_comp) dof grid — vector problems take the
+    fast path too."""
+    import jax.numpy as jnp
+
+    from ddm_tpu.fem.grids import structured_grid
+    from ddm_tpu.fem.problems import ElasticityProblem
+
+    ep = ElasticityProblem(
+        lam=lambda x: jnp.full(x.shape[:-1], 100.0),
+        mu=lambda x: jnp.full(x.shape[:-1], 1000.0),
+        f=lambda x: jnp.stack([jnp.zeros(x.shape[:-1]),
+                               jnp.full(x.shape[:-1], -9.81)], -1),
+        g=lambda x: jnp.zeros(x.shape[:-1] + (2,)),
+        is_dirichlet=lambda x: x[..., 0] < 1e-9,
+        name="plate2d",
+    )
+    pt = default_ptree()
+    pt["overlap"] = 2
+    pt["coarsespace.type"] = "geneo"
+    pt["coarse_solver.type"] = "lu"
+    pt["geneo.eigensolver.nev"] = 4
+    p = setup_problem(pt, problem=ep, grid=structured_grid((32, 32)),
+                      parts=(4, 4), n_comp=2)
+    assert getattr(p.topo, "rect", None) is not None
+    prec = build_preconditioner(p)
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.normal(size=p.topo.n_glob))
+    for sub in prec.precs:
+        slow = dataclasses.replace(sub, rect=None)
+        np.testing.assert_allclose(
+            np.asarray(sub.apply(d)), np.asarray(slow.apply(d)),
+            rtol=1e-13, atol=1e-13)
+
+
 def test_uneven_partition_falls_back():
     # 50 cells over 4 parts -> non-uniform pitch -> general layout
     p = _problem(gridsize=50)
