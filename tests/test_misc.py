@@ -24,6 +24,21 @@ def test_scripted_problem_matches_builtin():
     )
 
 
+def test_scripted_symmetric_convection_diffusion():
+    # symmetric_convection_diffusion_coefficient.lua:1-15: alpha = 1, f = 1,
+    # Dirichlet on x = 0 and y = 1, g = 0
+    p = load_problem(
+        "ddm_tpu/examples/coefficients/"
+        "symmetric_convection_diffusion_coefficient.py"
+    )
+    xq = jnp.asarray([[0.0, 0.5], [0.5, 1.0], [0.5, 0.5], [1.0, 0.0]])
+    np.testing.assert_allclose(np.asarray(p.alpha(xq)), 1.0)
+    np.testing.assert_allclose(np.asarray(p.f(xq)), 1.0)
+    np.testing.assert_array_equal(
+        np.asarray(p.is_dirichlet(xq)), [True, True, False, False]
+    )
+
+
 def test_masked_dot():
     from ddm_tpu.solvers.krylov import masked_dot, masked_norm
 
