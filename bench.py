@@ -76,7 +76,16 @@ def run_tpu(p, nev):
     from ddm_tpu.solvers.krylov import gmres_solve, operator_of, prec_of
 
     timings = {}
+    prec = res = None
     for attempt in range(2):
+        # free the previous attempt's preconditioner BEFORE rebuilding: at
+        # bench scale the old explicit inverses (~1.5 GB) pushed the second
+        # build of memory-heavier coarse spaces (geneo_ring) over the HBM
+        # limit
+        prec = res = None
+        import gc
+
+        gc.collect()
         t0 = time.perf_counter()
         prec = build_preconditioner(p)
         jax.block_until_ready(jax.tree_util.tree_leaves(prec))
