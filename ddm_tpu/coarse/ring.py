@@ -65,6 +65,10 @@ def geneo_ring_coarse_space(p, ptree: ParamTree, fine=None):
 
     topo = p.topo
     params = EigensolverParams.from_ptree(ptree.sub("geneo_ring.eigensolver"))
+    # thin-annulus ring pencils need the larger mixed-precision
+    # refinement budget for exact kept spans (params.py, offline grid)
+    params = params.with_refine(max(params.refine_iters, 4),
+                                max(params.refine_buf, 24))
     pou = batched(p.pou)
     valid = topo.valid
     local_cols = extraction_map(topo, np.asarray(p.A.colsT).T)
@@ -133,6 +137,8 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
 
     topo = p.topo
     params = EigensolverParams.from_ptree(ptree.sub("msgfem_ring.eigensolver"))
+    params = params.with_refine(max(params.refine_iters, 4),
+                                max(params.refine_buf, 24))
     shrink = ptree.sub("pou").get("shrink", 0)
     pou = batched(p.pou)
     valid = topo.valid

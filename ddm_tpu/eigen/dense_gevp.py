@@ -74,20 +74,18 @@ def solve_gevp_dense(
     out_dtype = A.dtype
     downcast = prec == "f32" and A.dtype == jnp.float64
 
-    if downcast:
-        # The mixed-precision path needs a larger pencil shift: with
-        # reg=1e-12 the near-null Neumann modes give mu_max = 1/lam_min
-        # ~ 1e11, and BOTH f32 (eps32*||S|| ~ 6e3) and the TPU's
-        # double-single f64 matmuls in the refinement (eps_dd*||S|| ~ 3e-3)
-        # then bury the mid-spectrum modes (mu ~ 4) entirely — measured as
-        # O(1) relative eigenvalue errors at the block edge that stalled
-        # geneo_ring at 384^2/256 (400 GMRES iterations).  Flooring the
-        # shift at 1e-6*mean-diag caps mu_max ~ 1e6, and every kept
-        # eigenvalue comes out to <=3e-5 relative of the LAPACK f64 result
-        # (scratch/gevp_refine_r3.py).  The floored modes (true lam below
-        # 1e-6) read as lam ~ 1e-6 — still far below any selection
-        # threshold, so selection and spans are unchanged.
-        reg = max(reg, 1e-6)
+    # NO extra pencil shift in the mixed-precision path (an earlier 1e-6
+    # "shift floor" for f32 stability was measured HARMFUL and removed):
+    # ring-pencil eigenvectors have v^T v / v^T C v ~ 1e6 (C lives on a thin
+    # pou^2-weighted annulus), so a shift eps moves their eigenvalues by
+    # eps * v^T v / v^T C v = O(1) — an f64-exact pencil perturbation no
+    # refinement can undo (it stalled geneo_ring at 384^2/256 at 400 GMRES
+    # iterations while full GenEO, whose C has O(1) mass, was unaffected).
+    # With reg=1e-12 and the buffered f64 refinement below, the kept spans
+    # of REAL islands-384^2/256 pencils match LAPACK f64 to <=0.1 degrees
+    # (ring) resp. <=1e-3 relative eigenvalue error (geneo, whose kept-span
+    # metric is ill-posed: its lam = 1.0 cluster is degenerate at the nev
+    # cut) — scratch/ring_gevp_offline_r3.py.
     # regularization scaled by the mean diagonal
     scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=1, axis2=2)), axis=1)
     eps = reg * jnp.maximum(scale, 1.0)
@@ -139,16 +137,20 @@ def solve_gevp_dense(
         # at scale: 16 -> >200 iterations on islands 384^2/256 subdomains).
         # The subspace carries `buf` extra seed vectors so the slow-
         # converging block edge lands in the discarded tail rather than in
-        # the returned pairs (measured: tightens the kept eigenvalues by
-        # ~100x at the edge, scratch/gevp_refine_r3.py).
+        # the returned pairs.  The budget comes from params (refine_iters /
+        # refine_buf), sized by the offline grid on real bench-scale
+        # pencils (scratch/ring_gevp_offline_r3.py): GenEO overlap pencils
+        # are accurate at (2, 8) (lam relerr <= 3e-2, and the kept-span
+        # metric is degenerate at the cut); thin-support ring pencils need
+        # (4, 24) for exact kept spans and their callers override.
         def s_mul(W):
             t = jnp.einsum("sqp,sqk->spk", Linv, W)  # Linv^T W
             t = jnp.einsum("spq,sqk->spk", C, t)
             return jnp.einsum("spq,sqk->spk", Linv, t)
 
-        buf = min(8, p - m)
+        buf = min(params.refine_buf, p - m)
         W = Wt[:, :, -(m + buf):][:, :, ::-1].astype(out_dtype)
-        for _ in range(2):
+        for _ in range(params.refine_iters):
             W = s_mul(W)
             W, _ = jnp.linalg.qr(W)
         T = jnp.einsum("spk,spl->skl", W, s_mul(W))

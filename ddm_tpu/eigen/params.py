@@ -43,6 +43,13 @@ class EigensolverParams:
     # slower there), f64 on CPU.  Coarse-space quality only needs the
     # eigenvectors to *span* a good subspace; f32 is ample for that.
     precision: str = "auto"
+    # mixed-precision refinement budget (dense path, downcast only): rounds
+    # of f64 subspace iteration and extra seed vectors beyond max_kept.
+    # Sized from real bench-scale pencils (scratch/ring_gevp_offline_r3.py):
+    # GenEO overlap pencils are accurate at (2, 8); thin-support ring
+    # pencils need (4, 24) for exact kept spans — ring callers override.
+    refine_iters: int = 2
+    refine_buf: int = 8
 
     @staticmethod
     def from_ptree(sub: ParamTree) -> "EigensolverParams":
@@ -64,7 +71,16 @@ class EigensolverParams:
             shift=sub.get("shift", d.shift),
             threshold=threshold,
             precision=sub.get("precision", d.precision),
+            refine_iters=sub.get("refine_iters", d.refine_iters),
+            refine_buf=sub.get("refine_buf", d.refine_buf),
         )
+
+    def with_refine(self, iters: int, buf: int) -> "EigensolverParams":
+        """Copy with a different mixed-precision refinement budget (used by
+        ring coarse spaces, whose pencils need the larger budget)."""
+        from dataclasses import replace
+
+        return replace(self, refine_iters=iters, refine_buf=buf)
 
     @property
     def max_kept(self) -> int:
