@@ -87,6 +87,17 @@ def neumann_matrices(p, region_b: str = "overlap"):
     return A_neu, B_neu
 
 
+def dirichlet_mask_sub(p):
+    """(n_sub, n_pad) bool: the subdomain Dirichlet masks, without building
+    the dense A_dir batch (callers on the Minv-reuse extension path need only
+    the mask — the (n_sub, p, p) f64 batch is ~1.5 GB at bench scale)."""
+    topo = p.topo
+    dmask_sub = gather_subdomain(
+        p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
+    ) > 0
+    return dmask_sub & batched(topo.valid)
+
+
 def dirichlet_dense(p):
     """Dense batch of overlapping Dirichlet matrices A_dir (in the same,
     optionally equilibrated, variables as p.A) + the subdomain Dirichlet

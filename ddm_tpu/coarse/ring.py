@@ -35,7 +35,7 @@ from ..eigen.params import EigensolverParams
 from ..fem.subassembly import scale_matrix_with_pou
 from .basis import finalize_basis
 from .extension import energy_minimal_extension, harmonic_parameter_basis
-from .geneo import dirichlet_dense, region_neumann
+from .geneo import dirichlet_dense, dirichlet_mask_sub, region_neumann
 
 
 def _adjacent_to(
@@ -147,8 +147,10 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
 
     ring = valid & (topo.bdist <= 2 * ov)
     inside_rb = ring & (topo.bdist == 2 * ov)  # innermost ring layer
-    A_dir, dmask = dirichlet_dense(p)
-    dmask_np = np.asarray(dmask)
+    # only the Dirichlet MASK is needed up front; the dense A_dir batch
+    # (~1.5 GB at bench scale) is built lazily in the no-Minv extension
+    # fallback below — building it eagerly OOMed msgfem_ring at 384^2/256
+    dmask_np = np.asarray(dirichlet_mask_sub(p))
 
     # dof classes within the ring (coarse_spaces.hh:986-1001)
     bnd_class = ring & (np.asarray(topo.boundary) | np.asarray(inside_rb)) & ~dmask_np
@@ -211,6 +213,7 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
                 Minv, batched(ext_free), data, valid & ~ext_free
             )
         else:
+            A_dir, _dm = dirichlet_dense(p)
             ext = energy_minimal_extension(A_dir, batched(ext_free), data)
     combined = jnp.where(batched(ext_free)[:, None, :], ext, V_ring)
     combined = jnp.where(batched(valid)[:, None, :], combined, 0.0)
