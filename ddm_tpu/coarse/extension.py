@@ -99,6 +99,80 @@ def energy_minimal_extension(
     return Ub + Z
 
 
+def energy_minimal_extension_sparse(
+    ell,
+    topo,
+    free_mask: np.ndarray,
+    U_bnd: jnp.ndarray,
+    local_cols: np.ndarray | None = None,
+    solver_type: str = "cholesky",
+) -> jnp.ndarray:
+    """Energy-minimal extension extracted straight from the global sparse
+    operator, at COMPACT free-set size.
+
+    Equivalent to ``energy_minimal_extension(A_dir, free, U_bnd)`` with
+    A_dir = the overlapping Dirichlet extraction of ``ell`` (couplings to
+    columns outside the subdomain dropped, reference
+    examples/pdelab_helper.hh:134-138), but it never materializes the
+    (n_sub, p, p) dense batch (~1.5 GB at bench scale) and factors the free
+    block at its compacted size f_pad << p — at ring-extension free-set
+    sizes the Cholesky costs (f_pad/p)^3 of the full-size one.
+
+    This is the accuracy-correct replacement for the Minv-reuse Schur trick
+    (:func:`inverse_harmonic_extension`): that trick's error is
+    ~ eps * cond(A)^2 (the M_cc solve amplifies the inverse's own
+    eps*cond entry error), which on this backend's double-single f64 turns
+    O(1) at the bench problem's subdomain condition ~1e7 — measured as
+    ~12 deg median basis-span error and a 400-iteration GMRES stall at
+    384^2/256, while a direct f64 factorization of A_ff (error eps*cond)
+    stays exact.  See VERDICT r2 item 3 / scratch/ring_extfix_r3.py.
+
+    ell: SparseELL (global, Dirichlet-eliminated, optionally equilibrated);
+    topo: DDMTopology; free_mask: host bool (n_sub, n_pad); U_bnd
+    (n_sub, nev, n_pad) with data read outside free_mask; ``local_cols`` the
+    precomputed extraction map (computed here when absent).  Same return
+    contract as :func:`energy_minimal_extension`.
+    """
+    import jax.numpy as jnp
+
+    from ..core.indexmaps import extraction_map
+
+    f_np = np.asarray(free_mask, bool) & topo.valid
+    n_sub, n_pad = f_np.shape
+    idx, fval, pos, f_pad = compact_maps(f_np)
+    if local_cols is None:
+        local_cols = extraction_map(topo, np.asarray(ell.colsT).T)
+    lc_f = np.take_along_axis(local_cols, idx[:, :, None], axis=1)
+    rows_g = np.take_along_axis(topo.sub2glob, idx, axis=1)
+    rows_g = np.minimum(rows_g, ell.n - 1)
+
+    vals, _ = ell.rows_dense_gather(jnp.asarray(rows_g))  # (n_sub, f_pad, m)
+    fval_j = jnp.asarray(fval)
+    vals = vals * fval_j[:, :, None]
+    # rectangular free-row block (n_sub, f_pad, n_pad): rows = free dofs,
+    # cols = all subdomain-local dofs (dropped couplings land in slot n_pad)
+    k_idx = jnp.arange(n_sub)[:, None, None]
+    r_idx = jnp.arange(f_pad)[None, :, None]
+    rect = jnp.zeros((n_sub, f_pad, n_pad + 1), vals.dtype)
+    rect = rect.at[k_idx, r_idx, jnp.asarray(lc_f)].add(vals)[:, :, :n_pad]
+
+    f_j = jnp.asarray(f_np)
+    Ub = jnp.where(f_j[:, None, :], 0.0, U_bnd)
+    R = -jnp.einsum("sfp,skp->skf", rect, Ub)  # (n_sub, nev, f_pad)
+
+    idx_j = jnp.asarray(idx)
+    Aff = jnp.take_along_axis(
+        rect.transpose(0, 2, 1), idx_j[:, :, None], axis=1
+    ).transpose(0, 2, 1)
+    Aff = jnp.where(fval_j[:, :, None] & fval_j[:, None, :], Aff, 0.0)
+    Aff = Aff + jnp.eye(f_pad, dtype=Aff.dtype)[None] * (~fval_j)[:, :, None]
+
+    fac = factor_batched(Aff, solver_type, mode="factors")
+    Z = fac.solve(R.transpose(0, 2, 1)).transpose(0, 2, 1)
+    Z = Z * fval_j[:, None, :]
+    return Ub + expand_rows(Z, jnp.asarray(pos))
+
+
 def extension_inverse_of(fine, p, ptree) -> jnp.ndarray | None:
     """The fine Schwarz level's explicit subdomain inverse, when it is an
     exact f64 inverse of the same overlapping Dirichlet matrix the extension

@@ -34,8 +34,8 @@ from ..eigen import solve_gevp
 from ..eigen.params import EigensolverParams
 from ..fem.subassembly import scale_matrix_with_pou
 from .basis import finalize_basis
-from .extension import energy_minimal_extension, harmonic_parameter_basis
-from .geneo import dirichlet_dense, dirichlet_mask_sub, region_neumann
+from .extension import harmonic_parameter_basis
+from .geneo import dirichlet_mask_sub, region_neumann
 
 
 def _adjacent_to(
@@ -58,9 +58,8 @@ def geneo_ring_coarse_space(p, ptree: ParamTree, fine=None):
     from .extension import (
         compact_maps,
         compact_mat,
+        energy_minimal_extension_sparse,
         expand_rows,
-        extension_inverse_of,
-        inverse_harmonic_extension,
     )
 
     topo = p.topo
@@ -107,17 +106,17 @@ def geneo_ring_coarse_space(p, ptree: ParamTree, fine=None):
     V_ring = expand_rows(V_c, pos_j)
 
     data = jnp.where(batched(inside_rb)[:, None, :], V_ring, 0.0)
-    Minv = extension_inverse_of(fine, p, ptree)
     with scoped("Eigensolver", "extension"):
-        if Minv is not None:
-            # reuse the Schwarz level's explicit inverse (Schur identity) —
-            # no second large factorization
-            ext = inverse_harmonic_extension(
-                Minv, batched(ext_free), data, valid & ~ext_free
-            )
-        else:
-            A_dir, _dmask = dirichlet_dense(p)
-            ext = energy_minimal_extension(A_dir, batched(ext_free), data)
+        # direct f64 factorization at compact free-set size.  Do NOT revert
+        # to the Minv-reuse Schur trick (inverse_harmonic_extension): its
+        # eps*cond^2 error is O(1) on this backend at bench-scale subdomain
+        # conditioning and stalled GMRES at 400 iterations (r3, islands
+        # 384^2/256 — see energy_minimal_extension_sparse docstring)
+        ext = energy_minimal_extension_sparse(
+            p.A, topo, ext_free, data, local_cols=local_cols,
+            solver_type="cholesky" if getattr(p.disc, "definite", True)
+            else "lu",
+        )
     combined = jnp.where(batched(ext_free)[:, None, :], ext, V_ring)
     combined = jnp.where(batched(valid)[:, None, :], combined, 0.0)
     return finalize_basis(combined, pou, batched(valid), active)
@@ -129,10 +128,9 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
     from .extension import (
         compact_maps,
         compact_mat,
+        energy_minimal_extension_sparse,
         expand_rows,
-        extension_inverse_of,
         harmonic_parameter_basis_compact,
-        inverse_harmonic_extension,
     )
 
     topo = p.topo
@@ -206,15 +204,14 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
     ext_bnd = valid & (topo.bdist == shrink + ring_width - 1)
     ext_free = valid & (topo.bdist > shrink + ring_width - 1)
     data = jnp.where(batched(ext_bnd)[:, None, :], V_ring, 0.0)
-    Minv = extension_inverse_of(fine, p, ptree)
     with scoped("Eigensolver", "extension"):
-        if Minv is not None:
-            ext = inverse_harmonic_extension(
-                Minv, batched(ext_free), data, valid & ~ext_free
-            )
-        else:
-            A_dir, _dm = dirichlet_dense(p)
-            ext = energy_minimal_extension(A_dir, batched(ext_free), data)
+        # compact direct factorization — see geneo_ring_coarse_space for why
+        # the Minv-reuse trick is off (eps*cond^2 accuracy failure)
+        ext = energy_minimal_extension_sparse(
+            p.A, topo, ext_free, data,
+            solver_type="cholesky" if getattr(p.disc, "definite", True)
+            else "lu",
+        )
     combined = jnp.where(batched(ext_free)[:, None, :], ext, V_ring)
     combined = jnp.where(batched(valid)[:, None, :], combined, 0.0)
     return finalize_basis(combined, pou, batched(valid), active)

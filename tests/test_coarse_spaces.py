@@ -127,3 +127,30 @@ def test_constraint_geneo_interior_correction():
     prec, res = run(p)
     assert bool(res.converged)
     assert int(res.iterations) <= 35, int(res.iterations)
+
+
+def test_sparse_extension_matches_dense():
+    """energy_minimal_extension_sparse (compact free-block extraction from
+    the global ELL) must reproduce the dense-A_dir extension exactly — it is
+    the same solve at compacted size."""
+    from ddm_tpu.coarse.extension import (
+        energy_minimal_extension,
+        energy_minimal_extension_sparse,
+    )
+    from ddm_tpu.coarse.geneo import dirichlet_dense
+
+    p, _ = islands_problem("none")
+    topo = p.topo
+    A_dir, _dm = dirichlet_dense(p)
+    rng = np.random.default_rng(0)
+    nev = 3
+    U = jnp.asarray(rng.standard_normal((topo.n_sub, nev, topo.n_pad)))
+    U = U * topo.valid[:, None, :]
+    # free set: everything at graph distance >= 2 from the subdomain
+    # boundary (ring-extension shape: data layer at bdist == 1)
+    free = topo.valid & (topo.bdist >= 2)
+    dense = energy_minimal_extension(
+        A_dir, jnp.asarray(free), U, solver_type="cholesky"
+    )
+    sparse = energy_minimal_extension_sparse(p.A, topo, free, U)
+    assert np.allclose(np.asarray(dense), np.asarray(sparse), atol=1e-9)
