@@ -74,18 +74,22 @@ def solve_gevp_dense(
     out_dtype = A.dtype
     downcast = prec == "f32" and A.dtype == jnp.float64
 
-    # NO extra pencil shift in the mixed-precision path (an earlier 1e-6
+    # NO IDENTITY shift in the mixed-precision path (an earlier 1e-6
     # "shift floor" for f32 stability was measured HARMFUL and removed):
     # ring-pencil eigenvectors have v^T v / v^T C v ~ 1e6 (C lives on a thin
-    # pou^2-weighted annulus), so a shift eps moves their eigenvalues by
+    # pou^2-weighted annulus), so a shift eps*I moves their eigenvalues by
     # eps * v^T v / v^T C v = O(1) — an f64-exact pencil perturbation no
-    # refinement can undo (it stalled geneo_ring at 384^2/256 at 400 GMRES
-    # iterations while full GenEO, whose C has O(1) mass, was unaffected).
-    # With reg=1e-12 and the buffered f64 refinement below, the kept spans
-    # of REAL islands-384^2/256 pencils match LAPACK f64 to <=0.1 degrees
-    # (ring) resp. <=1e-3 relative eigenvalue error (geneo, whose kept-span
-    # metric is ill-posed: its lam = 1.0 cluster is degenerate at the nev
-    # cut) — scratch/ring_gevp_offline_r3.py.
+    # refinement can undo.  The C-shift below is different: it is an exact
+    # transform of the pencil (same eigenvectors), and it is what makes the
+    # f32 eigh seed usable when near-kernel modes coexist with mid-spectrum
+    # essentials (ring pencils; scratch/ring_pencil_compare_r3.py).
+    # spectral C-shift (params.shift, see eigen/params.py): factor
+    # A + sigma*C instead of A — an EXACT pencil transform (identical
+    # eigenvectors; mu = 1/(lam + sigma), lam recovered below) that caps the
+    # inverted spectrum at 1/sigma so the f32 eigh seed resolves the whole
+    # kept block even next to near-kernel modes (mu ~ 1e10).
+    sigma = float(max(params.shift, 0.0))
+    A = A + sigma * C if sigma > 0.0 else A
     # regularization scaled by the mean diagonal
     scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=1, axis2=2)), axis=1)
     eps = reg * jnp.maximum(scale, 1.0)
@@ -160,7 +164,7 @@ def solve_gevp_dense(
         W_sel = jnp.einsum("spk,skl->spl", W, Z[:, :, ::-1][:, :, :m])
 
     mu_floor = 1e-300 if mu_sel.dtype == jnp.float64 else 1e-30
-    lam = 1.0 / jnp.maximum(mu_sel, mu_floor)
+    lam = 1.0 / jnp.maximum(mu_sel, mu_floor) - sigma
     # v = L^{-T} w, as rows
     V = jnp.einsum("sqp,sqk->skp", Linv, W_sel)  # (n_sub, m, p)
     lam = lam.astype(out_dtype)

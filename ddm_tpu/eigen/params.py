@@ -37,7 +37,19 @@ class EigensolverParams:
     seed: int = 1
     blocksize: int = 8
     tolerance: float = 1e-5
-    shift: float = 1e-3  # compatibility only (no shift-invert needed)
+    # Spectral C-shift: the dense path solves (A + shift*C) v = (lam+shift) C v
+    # — the TPU analogue of the reference's shift-invert sigma
+    # (spectra.hh:130-138).  EXACT transform (same eigenvectors, lam
+    # recovered as 1/mu - shift); its job here is compressing the inverted
+    # spectrum's dynamic range to <= 1/shift so the f32 eigh resolves the
+    # whole kept block even when a near-kernel mode (mu ~ 1e10) shares the
+    # pencil with mid-spectrum essentials — without it, ring pencils'
+    # mu ~ 1-20 essentials drown in f32 eigh's eps32*mu_max absolute noise
+    # (measured: 86-degree kept-span errors and a 400-iteration GMRES stall
+    # at islands 384^2/256, scratch/ring_pencil_compare_r3.py).  NOTE: an
+    # identity shift (A + eps*I) is NOT a substitute — it perturbs ring
+    # eigenvalues by eps * v^Tv/v^TCv = O(1) (the removed r2 "shift floor").
+    shift: float = 1e-3
     threshold: float = -0.5
     # "f64", "f32", or "auto": f32 on TPU (the f64-emulated eigh is ~100x
     # slower there), f64 on CPU.  Coarse-space quality only needs the

@@ -241,6 +241,22 @@ class GalerkinPreconditioner:
     # structured-rect canvas layout (core/structured.py): bandwidth
     # gather/scatter, unsharded apply only
     rect: object | None = field(default=None, metadata=dict(static=True))
+    # coarse matrix kept for iterative refinement of the coarse solve:
+    # ring-type coarse bases can make E near-singular (measured cond ~6.5e9
+    # at islands 384^2/256), where this backend's double-single f64 direct
+    # solve loses ~eps_ds*cond ~ 2e-5 — enough to stall GMRES at ~1e-7.
+    # Each refinement step contracts the solve error by that same factor at
+    # the cost of one (nc, nc) multiply+reduce matvec (~33 MB read).
+    E_mat: jnp.ndarray | None = None
+    refine: int = field(default=0, metadata=dict(static=True))
+
+    def _coarse_solve(self, rhs_flat: jnp.ndarray) -> jnp.ndarray:
+        y = self.coarse.solve(rhs_flat.reshape(1, -1))[0]
+        if self.E_mat is not None:
+            for _ in range(self.refine):
+                r = rhs_flat - jnp.sum(self.E_mat * y[None, :], axis=1)
+                y = y + self.coarse.solve(r.reshape(1, -1))[0]
+        return y
 
     def apply(self, d: jnp.ndarray) -> jnp.ndarray:
         from ..core.structured import rect_gather, rect_scatter_add
@@ -259,13 +275,13 @@ class GalerkinPreconditioner:
             # subdomain-sharded execution: collect the full coarse defect,
             # solve replicated, keep the local block
             alpha_full = jax.lax.all_gather(alpha, self.axis, tiled=True)
-            beta_full = self.coarse.solve(alpha_full.reshape(1, -1))[0]
+            beta_full = self._coarse_solve(alpha_full.reshape(-1))
             shard = jax.lax.axis_index(self.axis)
             beta = jax.lax.dynamic_slice_in_dim(
                 beta_full.reshape(-1, nev), shard * n_sub, n_sub, axis=0
             )
         else:
-            beta = self.coarse.solve(alpha.reshape(1, -1))[0].reshape(n_sub, nev)
+            beta = self._coarse_solve(alpha.reshape(-1)).reshape(n_sub, nev)
         x_sub = (self.V * beta[:, :, None]).sum(axis=1)  # prolongation
         if fast:
             return rect_scatter_add(x_sub, self.rect)
@@ -348,8 +364,14 @@ def build_galerkin(
         jax.block_until_ready(jax.tree_util.tree_leaves(coarse))
     from ..core.indexmaps import dual_scatter_map
 
+    # refinement default 2: two steps bring the coarse solve to true-f64
+    # accuracy even at cond(E) ~ 1e10 (contraction eps_ds*cond per step) for
+    # two negligible (nc, nc) matvecs per apply; refine=0 disables and drops
+    # the stored E
+    refine = int(sub.get("refine", 2))
     return GalerkinPreconditioner(
         sub2glob=s2g, V=basis.V, active=basis.active, coarse=coarse,
         dualT=jnp.asarray(dual_scatter_map(topo)),
         rect=getattr(topo, "rect", None),
+        E_mat=E if refine > 0 else None, refine=refine,
     )
