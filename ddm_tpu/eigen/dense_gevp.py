@@ -96,11 +96,16 @@ def solve_gevp_dense(
     eye = jnp.broadcast_to(jnp.eye(p, dtype=A.dtype), A.shape)
     if spd:
         Areg = A + eps[:, None, None] * jnp.eye(p, dtype=A.dtype)[None]
-        from ..solvers.direct import batched_tri_lower_inv, use_blocked_tri_inv
+        from ..solvers.direct import (
+            batched_tri_lower_inv,
+            cholesky_batched,
+            use_blocked_tri_inv,
+        )
 
         # lax cholesky (blocked variants measured slower — see
-        # solvers/direct.py:factor_batched)
-        L = jnp.linalg.cholesky(Areg)
+        # solvers/direct.py:factor_batched), batch-capped: the backend
+        # corrupts batched f64 Cholesky at batch >= 128 (direct.py)
+        L = cholesky_batched(Areg)
         if jax.default_backend() == "cpu" or not use_blocked_tri_inv(n_sub):
             Linv = jax.lax.linalg.triangular_solve(
                 L, eye, left_side=True, lower=True

@@ -282,6 +282,34 @@ def batch_chunk_size(p: int, dtype_bytes: int = 8, live_buffers: int = 20,
     return max(1, budget_bytes // max(per, 1))
 
 
+# The axon TPU backend's batched f64 Cholesky is DETERMINISTICALLY WRONG for
+# batch sizes >= 128: at (256, 484, 484) and (128, 484, 484) the factor
+# residual ||L L^T - A||/||A|| is ~6e-2 with exactly dyadic values (1/16,
+# 1/(8*sqrt(2))) that survive a 1e-12 input perturbation, while batches
+# <= 104 of the SAME matrices factor to 5e-14 (measured r3,
+# scratch/chol_batchbug_r3.py; this silently corrupted the unchunked ring
+# -extension factorization and stalled GMRES at 400 iterations).  Every
+# batched Cholesky therefore goes through this cap.  96 keeps a margin
+# below the measured 104/128 boundary; chunking is free here because the
+# backend's emulated-f64 Cholesky cost is linear in batch size (CLAUDE.md).
+CHOLESKY_BATCH_CAP = 96
+
+
+def cholesky_batched(A: jnp.ndarray, cap: int | None = None) -> jnp.ndarray:
+    """`jnp.linalg.cholesky` over the leading batch axis, split into chunks
+    of at most CHOLESKY_BATCH_CAP on non-CPU backends (see above).  Safe
+    under jit (static shapes; the split is a Python loop at trace time)."""
+    n = A.shape[0]
+    if cap is None:
+        cap = n if jax.default_backend() == "cpu" else CHOLESKY_BATCH_CAP
+    if n <= cap:
+        return jnp.linalg.cholesky(A)
+    return jnp.concatenate(
+        [jnp.linalg.cholesky(A[i:i + cap]) for i in range(0, n, cap)],
+        axis=0,
+    )
+
+
 from functools import lru_cache
 
 
@@ -393,7 +421,7 @@ def batched_cholesky_blocked(A: jnp.ndarray, nb: int = 128) -> jnp.ndarray:
                 jnp.einsum("spq,srq->spr", L[k][j], L[k][j])
                 for j in range(k)
             )
-        Lkk = jnp.linalg.cholesky(S)
+        Lkk = cholesky_batched(S)
         L[k][k] = Lkk
         if k + 1 < B:
             # panel: L[i][k] = S_i L_kk^{-T}  via small triangular solves
@@ -550,8 +578,9 @@ def factor_batched(
         # both measured SLOWER on the TPU backend — the emulated-f64
         # recurrence cost scales with the ~p sequential steps, which
         # blocking does not reduce (measured: lax 10.9s, B=2 11.8s, B=7
-        # 15.2s for the bench factorise)
-        chol = jnp.linalg.cholesky(A)
+        # 15.2s for the bench factorise); cholesky_batched caps the batch
+        # at 96 — the backend corrupts batched f64 Cholesky at batch >= 128
+        chol = cholesky_batched(A)
         if mode == "inverse":
             if on_cpu or not use_blocked_tri_inv(A.shape[0]):
                 eye = jnp.broadcast_to(

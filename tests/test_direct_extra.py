@@ -64,3 +64,20 @@ def test_batched_cholesky_blocked_matches_numpy(p):
     L = np.asarray(batched_cholesky_blocked(jnp.asarray(A)))
     ref = np.linalg.cholesky(A)
     assert np.abs(L - ref).max() / np.abs(ref).max() < 1e-13
+
+
+def test_cholesky_batched_chunking_matches_unchunked():
+    """The chunk split in cholesky_batched is a pure reshaping of the work:
+    any cap must reproduce the single-call factor bit-for-bit per matrix.
+    (The cap exists because the axon TPU backend deterministically corrupts
+    batched f64 Cholesky at batch >= 128 — scratch/chol_batchbug_r3.py.)"""
+    rng = np.random.default_rng(11)
+    from ddm_tpu.solvers.direct import cholesky_batched
+
+    A = rng.standard_normal((7, 13, 13))
+    A = A @ np.swapaxes(A, 1, 2) + 13 * np.eye(13)
+    Aj = jnp.asarray(A)
+    full = np.asarray(cholesky_batched(Aj, cap=7))
+    for cap in (1, 2, 3, 7, 96):
+        chunked = np.asarray(cholesky_batched(Aj, cap=cap))
+        assert np.array_equal(chunked, full), cap
