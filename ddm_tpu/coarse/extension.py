@@ -11,6 +11,8 @@ basis vector, over all subdomains) solve in one batched call.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -171,6 +173,131 @@ def energy_minimal_extension_sparse(
     Z = fac.solve(R.transpose(0, 2, 1)).transpose(0, 2, 1)
     Z = Z * fval_j[:, None, :]
     return Ub + expand_rows(Z, jnp.asarray(pos))
+
+
+def _pcg_blocks(A, M, B, maxit: int):
+    """Batched preconditioned CG: solve A X = B for every (subdomain, rhs)
+    pair at once.  A, M: (s, f, f) SPD (M = preconditioner, applied
+    explicitly); B: (s, f, k).  Returns (X, rel) with rel (s, k) the final
+    true-residual norms relative to ||B|| columns (0 where B = 0).
+
+    All contractions are wide (k right-hand sides), so f64 dot_general
+    amortizes the TPU emulation (CLAUDE.md round-3 rule 1 applies to 1-wide
+    outputs only).  Fixed ``maxit`` keeps the loop compile-friendly;
+    converged columns freeze via a mask instead of exiting early.
+    """
+    import jax
+    from jax import lax
+
+    def mv(K, V):
+        return jnp.einsum("sfg,sgk->sfk", K, V)
+
+    b2 = jnp.sum(B * B, axis=1)  # (s, k)
+    X0 = jnp.zeros_like(B)
+    R0 = B
+    Z0 = mv(M, R0)
+    rz0 = jnp.sum(R0 * Z0, axis=1)
+
+    def body(_, carry):
+        X, R, Z, P, rz = carry
+        Q = mv(A, P)
+        pq = jnp.sum(P * Q, axis=1)
+        live = (rz > 0.0) & (pq > 0.0)
+        alpha = jnp.where(live, rz / jnp.where(pq > 0.0, pq, 1.0), 0.0)
+        X = X + alpha[:, None, :] * P
+        R = R - alpha[:, None, :] * Q
+        Z = mv(M, R)
+        rz_new = jnp.sum(R * Z, axis=1)
+        beta = jnp.where(live, rz_new / jnp.where(rz > 0.0, rz, 1.0), 0.0)
+        P = Z + beta[:, None, :] * P
+        return X, R, Z, P, rz_new
+
+    X, R, _, _, _ = lax.fori_loop(
+        0, maxit, body, (X0, R0, Z0, Z0, rz0)
+    )
+    # true residual (the recurrence R drifts once columns converge)
+    Rt = B - mv(A, X)
+    rel = jnp.sqrt(jnp.sum(Rt * Rt, axis=1) / jnp.where(b2 > 0.0, b2, 1.0))
+    rel = jnp.where(b2 > 0.0, rel, 0.0)
+    return X, rel
+
+
+@functools.lru_cache(maxsize=None)
+def _pcg_blocks_jit(maxit: int):
+    import jax
+
+    return jax.jit(lambda A, M, B: _pcg_blocks(A, M, B, maxit))
+
+
+def energy_minimal_extension_pcg(
+    ell,
+    topo,
+    free_mask: np.ndarray,
+    U_bnd: jnp.ndarray,
+    Minv: jnp.ndarray,
+    local_cols: np.ndarray | None = None,
+    maxit: int = 60,
+):
+    """Energy-minimal extension by preconditioned CG, reusing the fine
+    Schwarz level's explicit subdomain inverse as the preconditioner —
+    no second f64 factorization.
+
+    The direct route (:func:`energy_minimal_extension_sparse`) pays a
+    batched f64 Cholesky of the compacted free block; on this backend that
+    cost is LINEAR in the pencil size (CLAUDE.md), so for ring spaces the
+    extension factorization erases most of the ring's smaller-GEVP win.
+    Here instead: CG on A_ff with P = (A^{-1})_ff (the free-free block of
+    the inverse the Schwarz level already holds).  For SPD A,
+    (A^{-1})_ff = (A_ff - A_fc A_cc^{-1} A_cf)^{-1}, so P A_ff = I - (small
+    boundary-strip correction) and CG contracts fast.  Unlike the reverted
+    Minv Schur identity (eps*cond^2 accuracy failure, see
+    :func:`energy_minimal_extension_sparse`), PCG is residual-controlled:
+    inverse entry noise only slows the rate, never floors the answer.
+
+    Returns (U, rel): same contract as the sparse variant, plus the final
+    per-(subdomain, vector) relative residuals so callers can verify and
+    fall back to the direct factorization if contraction was poor.
+    """
+    from ..core.indexmaps import extraction_map
+
+    f_np = np.asarray(free_mask, bool) & topo.valid
+    n_sub, n_pad = f_np.shape
+    idx, fval, pos, f_pad = compact_maps(f_np)
+    if local_cols is None:
+        local_cols = extraction_map(topo, np.asarray(ell.colsT).T)
+    lc_f = np.take_along_axis(local_cols, idx[:, :, None], axis=1)
+    rows_g = np.take_along_axis(topo.sub2glob, idx, axis=1)
+    rows_g = np.minimum(rows_g, ell.n - 1)
+
+    vals, _ = ell.rows_dense_gather(jnp.asarray(rows_g))
+    fval_j = jnp.asarray(fval)
+    vals = vals * fval_j[:, :, None]
+    k_idx = jnp.arange(n_sub)[:, None, None]
+    r_idx = jnp.arange(f_pad)[None, :, None]
+    rect = jnp.zeros((n_sub, f_pad, n_pad + 1), vals.dtype)
+    rect = rect.at[k_idx, r_idx, jnp.asarray(lc_f)].add(vals)[:, :, :n_pad]
+
+    f_j = jnp.asarray(f_np)
+    Ub = jnp.where(f_j[:, None, :], 0.0, U_bnd)
+    R = -jnp.einsum("sfp,skp->sfk", rect, Ub)  # (n_sub, f_pad, nev)
+    R = R * fval_j[:, :, None]
+
+    idx_j = jnp.asarray(idx)
+    Aff = jnp.take_along_axis(
+        rect.transpose(0, 2, 1), idx_j[:, :, None], axis=1
+    ).transpose(0, 2, 1)
+    keep = fval_j[:, :, None] & fval_j[:, None, :]
+    Aff = jnp.where(keep, Aff, 0.0)
+    Aff = Aff + jnp.eye(f_pad, dtype=Aff.dtype)[None] * (~fval_j)[:, :, None]
+    del rect, vals
+
+    Mff = compact_mat(Minv, idx_j)
+    Mff = jnp.where(keep, Mff, 0.0)
+    Mff = Mff + jnp.eye(f_pad, dtype=Mff.dtype)[None] * (~fval_j)[:, :, None]
+
+    Z, rel = _pcg_blocks_jit(int(maxit))(Aff, Mff, R)
+    Z = Z.transpose(0, 2, 1) * fval_j[:, None, :]
+    return Ub + expand_rows(Z, jnp.asarray(pos)), rel
 
 
 def extension_inverse_of(fine, p, ptree) -> jnp.ndarray | None:

@@ -49,7 +49,7 @@ def neumann_matrices(p, region_b: str = "overlap"):
     equilibrated) variables as ``p.A``: congruence scaling leaves the GEVP
     eigenvalues unchanged and maps eigenvectors consistently.
     """
-    from ..obs.logger import scoped as _scoped
+    from ..obs.logger import hard_sync, scoped as _scoped
 
     disc, topo = p.disc, p.topo
     with _scoped("Eigensolver", "assemble Neumann"):
@@ -60,30 +60,35 @@ def neumann_matrices(p, region_b: str = "overlap"):
             A_neu = A_neu + neumann_dense(
                 K, batched(sub_e), batched(sub_l), topo.n_pad
             )
-    if region_b == "all":
-        B_neu = A_neu
-    else:
-        ovlp_mask = topo.bdist <= 2 * topo.overlap
-        B_neu = jnp.zeros_like(A_neu)
-        for dofs, K in groups:
-            sub_e2, sub_l2 = subdomain_stamp_lists(dofs, topo, dof_mask=ovlp_mask)
-            B_neu = B_neu + neumann_dense(
-                K, batched(sub_e2), batched(sub_l2), topo.n_pad
-            )
+        if region_b == "all":
+            B_neu = A_neu
+        else:
+            ovlp_mask = topo.bdist <= 2 * topo.overlap
+            B_neu = jnp.zeros_like(A_neu)
+            for dofs, K in groups:
+                sub_e2, sub_l2 = subdomain_stamp_lists(
+                    dofs, topo, dof_mask=ovlp_mask
+                )
+                B_neu = B_neu + neumann_dense(
+                    K, batched(sub_e2), batched(sub_l2), topo.n_pad
+                )
 
-    # same variables as the global operator (Jacobi equilibration is a
-    # congruence transform: scale rows+cols by the gathered scale vector)
-    if p.scale is not None:
-        s_sub = gather_subdomain(p.scale, batched(topo.sub2glob))
-        A_neu = A_neu * s_sub[:, :, None] * s_sub[:, None, :]
-        B_neu = B_neu * s_sub[:, :, None] * s_sub[:, None, :]
+        # same variables as the global operator (Jacobi equilibration is a
+        # congruence transform: scale rows+cols by the gathered scale vector)
+        if p.scale is not None:
+            s_sub = gather_subdomain(p.scale, batched(topo.sub2glob))
+            A_neu = A_neu * s_sub[:, :, None] * s_sub[:, None, :]
+            B_neu = B_neu * s_sub[:, :, None] * s_sub[:, None, :]
 
-    dmask_sub = gather_subdomain(
-        p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
-    ) > 0
-    pad = ~batched(topo.valid)
-    A_neu = eliminate_dirichlet_dense(A_neu, dmask_sub, unit_diag_padding=pad)
-    B_neu = eliminate_dirichlet_dense(B_neu, dmask_sub)
+        dmask_sub = gather_subdomain(
+            p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
+        ) > 0
+        pad = ~batched(topo.valid)
+        A_neu = eliminate_dirichlet_dense(
+            A_neu, dmask_sub, unit_diag_padding=pad
+        )
+        B_neu = eliminate_dirichlet_dense(B_neu, dmask_sub)
+        hard_sync(A_neu, B_neu)
     return A_neu, B_neu
 
 
@@ -197,13 +202,13 @@ def geneo_coarse_space(
     import jax
 
     from ..eigen import solve_gevp
-    from ..obs.logger import scoped
+    from ..obs.logger import hard_sync, scoped
     from ..solvers.direct import chunked_batch
 
     with scoped("Eigensolver", "solve GEVP"):
         jfn = lambda A_, C_: solve_gevp(A_, C_, params, spd=spd)
         lam, V, active = chunked_batch(jfn, A_neu, C)
-        jax.block_until_ready(V)
+        hard_sync(lam, V, active)
     if constrained:
         # interior-constraint correction (ConstraintGenEOCoarseSpace,
         # coarse_spaces.hh:425-481): each eigenvector's interior is replaced
@@ -219,4 +224,5 @@ def geneo_coarse_space(
             interior = batched(p.topo.valid & ~np.asarray(p.topo.boundary))
             V = energy_minimal_extension(A_dir, interior, V)
             V = jnp.where(active[:, :, None], V, 0.0)
+            hard_sync(V)
     return finalize_basis(V, pou, batched(p.topo.valid), active)

@@ -34,7 +34,6 @@ from ..eigen import solve_gevp
 from ..eigen.params import EigensolverParams
 from ..fem.subassembly import scale_matrix_with_pou
 from .basis import finalize_basis
-from .extension import harmonic_parameter_basis
 from .geneo import dirichlet_mask_sub, region_neumann
 
 
@@ -51,19 +50,65 @@ def _adjacent_to(
     return within & hit.any(axis=2)
 
 
+def _ring_extension(p, ptree, ext_cfg, ext_free, data, fine, local_cols=None):
+    """Energy-minimal extension for ring spaces, dispatching on
+    ``<cs>.extension.mode``:
+
+    * ``pcg`` / ``auto`` (default): CG on the compacted free block
+      preconditioned by the fine level's explicit subdomain inverse — no
+      second f64 factorization (extension.py:energy_minimal_extension_pcg).
+      The result is VERIFIED (max relative residual fetched to host); on
+      poor contraction, or when no compatible inverse is held, ``auto``
+      falls back to the direct factorization.
+    * ``direct``: batched f64 Cholesky/LU of the free block at compact size
+      (the reference's dedicated UMFPACK factorization,
+      energy_minimal_extension.hh:78-88).
+
+    Do NOT revert to the Minv-reuse Schur trick
+    (inverse_harmonic_extension): its eps*cond^2 error is O(1) on this
+    backend at bench-scale subdomain conditioning and stalled GMRES at 400
+    iterations (r3, islands 384^2/256) — PCG reuses the same inverse but
+    residual-controlled, so inverse noise affects only the rate.
+    """
+    import numpy as _np
+
+    from ..obs.logger import logger
+    from .extension import (
+        energy_minimal_extension_pcg,
+        energy_minimal_extension_sparse,
+        extension_inverse_of,
+    )
+
+    mode = ext_cfg.get("mode", "auto")
+    accept = float(ext_cfg.get("tolerance", 1e-8))
+    Minv = extension_inverse_of(fine, p, ptree) if mode != "direct" else None
+    if Minv is not None:
+        ext, rel = energy_minimal_extension_pcg(
+            p.A, p.topo, ext_free, data, Minv, local_cols=local_cols,
+            maxit=int(ext_cfg.get("maxit", 60)),
+        )
+        worst = float(_np.max(_np.asarray(rel)))
+        if worst <= accept:
+            return ext
+        logger.warn(
+            "ring extension PCG stalled (max rel residual {:.2e} > {:.0e}); "
+            "falling back to the direct factorization", worst, accept,
+        )
+    return energy_minimal_extension_sparse(
+        p.A, p.topo, ext_free, data, local_cols=local_cols,
+        solver_type="cholesky" if getattr(p.disc, "definite", True) else "lu",
+    )
+
+
 def geneo_ring_coarse_space(p, ptree: ParamTree, fine=None):
     from ..core.indexmaps import extraction_map
-    from ..obs.logger import scoped
+    from ..obs.logger import hard_sync, scoped
     from ..solvers.direct import chunked_batch
-    from .extension import (
-        compact_maps,
-        compact_mat,
-        energy_minimal_extension_sparse,
-        expand_rows,
-    )
+    from .extension import compact_maps, compact_mat, expand_rows
 
     topo = p.topo
     params = EigensolverParams.from_ptree(ptree.sub("geneo_ring.eigensolver"))
+    ext_cfg = ptree.sub("geneo_ring.extension")
     # thin-annulus ring pencils need the larger mixed-precision
     # refinement budget for exact kept spans (params.py, offline grid)
     params = params.with_refine(max(params.refine_iters, 4),
@@ -91,6 +136,7 @@ def geneo_ring_coarse_space(p, ptree: ParamTree, fine=None):
         A_ring = region_neumann(p, ring)
         A_rc = compact_mat(A_ring, idx_j)
         del A_ring
+        hard_sync(A_rc)
     keep = cval_j[:, :, None] & cval_j[:, None, :]
     A_rc = jnp.where(keep, A_rc, 0.0)
     A_eig = A_rc + jnp.eye(A_rc.shape[-1])[None] * (~cval_j)[:, :, None]
@@ -103,32 +149,26 @@ def geneo_ring_coarse_space(p, ptree: ParamTree, fine=None):
     with scoped("Eigensolver", "solve GEVP"):
         jfn = lambda A_, C_: solve_gevp(A_, C_, params, spd=spd)
         lam, V_c, active = chunked_batch(jfn, A_eig, C)
+        hard_sync(lam, V_c, active)
     V_ring = expand_rows(V_c, pos_j)
 
     data = jnp.where(batched(inside_rb)[:, None, :], V_ring, 0.0)
     with scoped("Eigensolver", "extension"):
-        # direct f64 factorization at compact free-set size.  Do NOT revert
-        # to the Minv-reuse Schur trick (inverse_harmonic_extension): its
-        # eps*cond^2 error is O(1) on this backend at bench-scale subdomain
-        # conditioning and stalled GMRES at 400 iterations (r3, islands
-        # 384^2/256 — see energy_minimal_extension_sparse docstring)
-        ext = energy_minimal_extension_sparse(
-            p.A, topo, ext_free, data, local_cols=local_cols,
-            solver_type="cholesky" if getattr(p.disc, "definite", True)
-            else "lu",
+        ext = _ring_extension(
+            p, ptree, ext_cfg, ext_free, data, fine, local_cols
         )
+        hard_sync(ext)
     combined = jnp.where(batched(ext_free)[:, None, :], ext, V_ring)
     combined = jnp.where(batched(valid)[:, None, :], combined, 0.0)
     return finalize_basis(combined, pou, batched(valid), active)
 
 
 def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
-    from ..obs.logger import scoped
+    from ..obs.logger import hard_sync, scoped
     from ..solvers.direct import chunked_batch
     from .extension import (
         compact_maps,
         compact_mat,
-        energy_minimal_extension_sparse,
         expand_rows,
         harmonic_parameter_basis_compact,
     )
@@ -137,6 +177,7 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
     params = EigensolverParams.from_ptree(ptree.sub("msgfem_ring.eigensolver"))
     params = params.with_refine(max(params.refine_iters, 4),
                                 max(params.refine_buf, 24))
+    ext_cfg = ptree.sub("msgfem_ring.extension")
     shrink = ptree.sub("pou").get("shrink", 0)
     pou = batched(p.pou)
     valid = topo.valid
@@ -164,6 +205,7 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
         A_ring = region_neumann(p, ring)
         A_rc = compact_mat(A_ring, idx_j)
         del A_ring
+        hard_sync(A_rc)
     A_rc = jnp.where(cval_j[:, :, None] & cval_j[:, None, :], A_rc, 0.0)
 
     # mod_pou zeroed at bdist >= shrink + ring_width (coarse_spaces.hh:971-973)
@@ -179,6 +221,7 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
     with scoped("Eigensolver", "harmonic basis"):
         A_con = A_rc + jnp.eye(A_rc.shape[-1])[None] * (~cval_j)[:, :, None]
         Hc = harmonic_parameter_basis_compact(A_con, int_c, pidx_j, pval_j)
+        hard_sync(Hc)
 
     with scoped("Eigensolver", "reduced pencil"):
         # Hc^T A Hc at (r_pad, b_pad) in f64: wide matmuls amortize the TPU
@@ -192,11 +235,13 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
         Ahat = 0.5 * (Ahat + Ahat.transpose(0, 2, 1))
         Bhat = 0.5 * (Bhat + Bhat.transpose(0, 2, 1))
         Ahat = Ahat + jnp.eye(Ahat.shape[-1])[None] * (~pval_j)[:, :, None]
+        hard_sync(Ahat, Bhat)
 
     spd = getattr(p.disc, "definite", True)
     with scoped("Eigensolver", "solve GEVP"):
         jfn = lambda A_, C_: solve_gevp(A_, C_, params, spd=spd)
         lam, W, active = chunked_batch(jfn, Ahat, Bhat)
+        hard_sync(lam, W, active)
     V_c = jnp.einsum("sqb,skb->skq", Hc, W)  # back to ring size
     V_ring = expand_rows(V_c, pos_j)
 
@@ -205,13 +250,8 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
     ext_free = valid & (topo.bdist > shrink + ring_width - 1)
     data = jnp.where(batched(ext_bnd)[:, None, :], V_ring, 0.0)
     with scoped("Eigensolver", "extension"):
-        # compact direct factorization — see geneo_ring_coarse_space for why
-        # the Minv-reuse trick is off (eps*cond^2 accuracy failure)
-        ext = energy_minimal_extension_sparse(
-            p.A, topo, ext_free, data,
-            solver_type="cholesky" if getattr(p.disc, "definite", True)
-            else "lu",
-        )
+        ext = _ring_extension(p, ptree, ext_cfg, ext_free, data, fine)
+        hard_sync(ext)
     combined = jnp.where(batched(ext_free)[:, None, :], ext, V_ring)
     combined = jnp.where(batched(valid)[:, None, :], combined, 0.0)
     return finalize_basis(combined, pou, batched(valid), active)

@@ -101,6 +101,24 @@ def setup_loggers(argv: list[str] | None = None) -> list[str]:
     return rest
 
 
+def hard_sync(*values) -> None:
+    """Force completion of device work by fetching one element of every
+    array leaf to host.
+
+    ``jax.block_until_ready`` does NOT reliably block for the outputs of
+    some emulated ops on this TPU backend (measured for cholesky,
+    CLAUDE.md round-3 timing rules), which silently shifts phase timings
+    into the next synchronous point.  A tiny device->host fetch does
+    block, at ~1 ms cost — use this at timed phase boundaries.
+    """
+    import jax
+    import numpy as np
+
+    for v in jax.tree_util.tree_leaves(values):
+        if isinstance(v, jax.Array) and v.size:
+            np.asarray(v[tuple([-1] * v.ndim)])
+
+
 @dataclass
 class Event:
     family: str
@@ -153,9 +171,7 @@ class Logger:
         if ev._start is None:
             raise RuntimeError(f"Event '{ev.family}/{ev.name}' ended without start")
         if block_on is not None:
-            import jax
-
-            jax.block_until_ready(block_on)
+            hard_sync(block_on)
         ev.record(time.perf_counter() - ev._start)
         ev._start = None
 

@@ -310,7 +310,7 @@ def build_galerkin(
         )
     solver_type = sub.get("type")
     from ..core.mesh import batched
-    from ..obs.logger import scoped
+    from ..obs.logger import hard_sync, scoped
 
     s2g = batched(topo.sub2glob)
     with scoped("GalerkinPrec", "build Matrix"):
@@ -349,7 +349,7 @@ def build_galerkin(
         else:
             raise ValueError(f"unknown coarse-matrix method '{method}'")
         E = _mask_inactive(E, basis.active)
-        E.block_until_ready()
+        hard_sync(E)
     with scoped("GalerkinPrec", "factor A0"):
         coarse = factor_batched(E[None], solver_type)
         if sub.get("precision", "f64") == "dd":
@@ -361,7 +361,7 @@ def build_galerkin(
             if isinstance(coarse, BatchedInverse):
                 h, l = dd_split(coarse.inv)
                 coarse = BatchedInverseDD(inv_hi=h, inv_lo=l)
-        jax.block_until_ready(jax.tree_util.tree_leaves(coarse))
+        hard_sync(coarse)
     from ..core.indexmaps import dual_scatter_map
 
     # refinement default 2: two steps bring the coarse solve to true-f64

@@ -100,7 +100,7 @@ def build_schwarz(
     precision = solver_sub.get("precision", "f64")
     modify = ptree.get("modify_subdomain_matrix", False)
 
-    from ..obs.logger import scoped
+    from ..obs.logger import hard_sync, scoped
 
     from ..core.mesh import batched
 
@@ -119,7 +119,7 @@ def build_schwarz(
             A_sub = eliminate_dirichlet_dense(
                 A_sub, batched(topo.boundary) & valid_j
             )
-        A_sub.block_until_ready()
+        hard_sync(A_sub)
     with scoped("Schwarz", "factorise"):
         # reduced-precision applies need the explicit-inverse mode regardless
         # of backend (on CPU the default is triangular factors); dd also
@@ -130,7 +130,7 @@ def build_schwarz(
         factors = chunked_batch(
             factor_batched_jit(solver_type, mode, store_dtype=sd), A_sub
         )
-        jax.block_until_ready(jax.tree_util.tree_leaves(factors))
+        hard_sync(factors)
     if precision in ("f32", "dd"):
         import dataclasses
 

@@ -154,3 +154,33 @@ def test_sparse_extension_matches_dense():
     )
     sparse = energy_minimal_extension_sparse(p.A, topo, free, U)
     assert np.allclose(np.asarray(dense), np.asarray(sparse), atol=1e-9)
+
+
+def test_pcg_extension_matches_direct():
+    """energy_minimal_extension_pcg (CG on the free block preconditioned by
+    the subdomain inverse — the TPU route that avoids a second f64
+    factorization) must agree with the direct factorization and report
+    converged residuals."""
+    from ddm_tpu.coarse.extension import (
+        energy_minimal_extension_pcg,
+        energy_minimal_extension_sparse,
+    )
+    from ddm_tpu.coarse.geneo import dirichlet_dense
+
+    p, _ = islands_problem("none")
+    topo = p.topo
+    A_dir, _dm = dirichlet_dense(p)
+    # the fine level's explicit inverse (production: BatchedInverse.inv);
+    # identity on padding slots keeps it SPD
+    pad = ~topo.valid
+    A_inv = np.asarray(A_dir) + np.eye(topo.n_pad)[None] * pad[:, :, None]
+    Minv = jnp.asarray(np.linalg.inv(A_inv))
+    rng = np.random.default_rng(1)
+    nev = 3
+    U = jnp.asarray(rng.standard_normal((topo.n_sub, nev, topo.n_pad)))
+    U = U * topo.valid[:, None, :]
+    free = topo.valid & (topo.bdist >= 2)
+    direct = energy_minimal_extension_sparse(p.A, topo, free, U)
+    pcg, rel = energy_minimal_extension_pcg(p.A, topo, free, U, Minv)
+    assert float(np.max(np.asarray(rel))) < 1e-8
+    assert np.allclose(np.asarray(direct), np.asarray(pcg), atol=1e-7)
