@@ -199,8 +199,6 @@ def geneo_coarse_space(
         A_neu, B = neumann_matrices(p)
     C = scale_matrix_with_pou(B, pou)
     spd = (not algebraic) and getattr(p.disc, "definite", True)
-    import jax
-
     from ..eigen import solve_gevp
     from ..obs.logger import hard_sync, scoped
     from ..solvers.direct import chunked_batch

@@ -34,6 +34,39 @@ from functools import partial
 from .params import EigensolverParams
 
 
+def cholqr2(W: jnp.ndarray) -> jnp.ndarray:
+    """Orthonormalize the columns of a batch of tall blocks (n_sub, p, k) by
+    two rounds of column-normalized shifted CholQR.
+
+    The TPU replacement for ``jnp.linalg.qr`` in the refinement loop: the
+    batched f64 Householder QR runs its recurrence scalar-emulated (~0.8 s
+    per call at (256, 464, 32) — measured, scratch/gevp_breakdown_r3b.py)
+    while CholQR is two wide matmuls + a tiny k x k Cholesky.  Column
+    normalization first removes the 1e10 eigenvalue-scale spread subspace
+    iteration produces (a raw Gram would have cond^2 and break the f64
+    factorization); the tiny shift guards exactly-dependent columns; the
+    second round restores orthonormality to O(eps).  This is the
+    ``WithinBlocks::CholQR2 / ShiftedCholQR3`` scheme of the reference's
+    block-Lanczos subsystem (SURVEY.md snapshot caveats;
+    dune/ddm/test/test_lanczos_step.cc).
+    """
+    k = W.shape[-1]
+    eye = jnp.eye(k, dtype=W.dtype)
+    shift = (1e-14 if W.dtype == jnp.float64 else 1e-6) * k
+    for _ in range(2):
+        nrm = jnp.sqrt(jnp.sum(W * W, axis=1, keepdims=True))
+        W = W / jnp.maximum(nrm, 1e-300 if W.dtype == jnp.float64 else 1e-30)
+        G = jnp.einsum("spk,spl->skl", W, W)
+        # shifted CholQR: keeps G PD under exact column dependence
+        G = G + shift * eye[None]
+        L = jnp.linalg.cholesky(G)
+        Linv = jax.lax.linalg.triangular_solve(
+            L, jnp.broadcast_to(eye, G.shape), left_side=True, lower=True
+        )
+        W = jnp.einsum("spk,slk->spl", W, Linv)  # W L^{-T}
+    return W
+
+
 @partial(jax.jit, static_argnames=("params", "reg", "spd"))
 def solve_gevp_dense_jit(A, C, params, reg=1e-12, spd=True):
     """Jit-stable entry point (params is frozen/hashable): reusing this
@@ -132,7 +165,25 @@ def solve_gevp_dense(
     else:
         S = jnp.einsum("spq,sqr,str->spt", Linv, C, Linv)
     S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
-    mu, Wt = jnp.linalg.eigh(S)
+    buf = min(params.refine_buf, p - m)
+    if downcast and params.seed_mode in ("auto", "subspace"):
+        # randomized block subspace iteration replaces the full f32 eigh as
+        # the refinement seed: measured 0.07 s vs eigh's 2.5 s (p=464) /
+        # 6.5 s (p=848) at batch 256 (scratch/gevp_probe2_r3.py).  The f64
+        # refinement below continues the same iteration on the kept block,
+        # so seed quality only has to capture the span approximately; the
+        # oversampled columns absorb the slow-converging block edge.
+        k_seed = min(m + buf + params.seed_oversample, p)
+        key = jax.random.PRNGKey(params.seed)
+        W32 = jax.random.normal(key, (n_sub, p, k_seed), dtype=jnp.float32)
+        for _ in range(params.seed_iters):
+            W32 = cholqr2(jnp.einsum("spq,sqk->spk", S, W32))
+        T = jnp.einsum("spk,spq,sql->skl", W32, S, W32)
+        T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
+        mu, Z = jnp.linalg.eigh(T)  # (n_sub, k_seed) ascending, tiny
+        Wt = jnp.einsum("spk,skl->spl", W32, Z)
+    else:
+        mu, Wt = jnp.linalg.eigh(S)
 
     # top-m mu == smallest-m lambda; reorder so lambda ascends
     mu_sel = mu[:, -m:][:, ::-1].astype(out_dtype)  # (n_sub, m)
@@ -157,11 +208,10 @@ def solve_gevp_dense(
             t = jnp.einsum("spq,sqk->spk", C, t)
             return jnp.einsum("spq,sqk->spk", Linv, t)
 
-        buf = min(params.refine_buf, p - m)
         W = Wt[:, :, -(m + buf):][:, :, ::-1].astype(out_dtype)
         for _ in range(params.refine_iters):
             W = s_mul(W)
-            W, _ = jnp.linalg.qr(W)
+            W = cholqr2(W)
         T = jnp.einsum("spk,spl->skl", W, s_mul(W))
         T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
         mu_r, Z = jnp.linalg.eigh(T)  # (n_sub, m+buf) ascending — tiny, f64

@@ -62,6 +62,17 @@ class EigensolverParams:
     # pencils need (4, 24) for exact kept spans — ring callers override.
     refine_iters: int = 2
     refine_buf: int = 8
+    # f32 seed for the mixed-precision dense path: "eigh" = full f32
+    # eigendecomposition of S; "subspace" = randomized block subspace
+    # iteration (seed_iters rounds at width max_kept + refine_buf +
+    # seed_oversample) + small Rayleigh-Ritz — measured 0.07 s vs the
+    # eigh's 2.5-6.5 s at bench pencil sizes (scratch/gevp_probe2_r3.py).
+    # "auto" = subspace (the f64 refinement that follows corrects the
+    # slightly less converged span; validated by the wide-spectrum fixture
+    # tests/test_geneo.py and end-to-end bench iteration counts).
+    seed_mode: str = "auto"
+    seed_iters: int = 8
+    seed_oversample: int = 16
 
     @staticmethod
     def from_ptree(sub: ParamTree) -> "EigensolverParams":
@@ -85,6 +96,9 @@ class EigensolverParams:
             precision=sub.get("precision", d.precision),
             refine_iters=sub.get("refine_iters", d.refine_iters),
             refine_buf=sub.get("refine_buf", d.refine_buf),
+            seed_mode=sub.get("seed_mode", d.seed_mode),
+            seed_iters=sub.get("seed_iters", d.seed_iters),
+            seed_oversample=sub.get("seed_oversample", d.seed_oversample),
         )
 
     def with_refine(self, iters: int, buf: int) -> "EigensolverParams":

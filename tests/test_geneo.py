@@ -42,7 +42,8 @@ def test_dense_gevp_matches_scipy():
             assert np.linalg.norm(r) < 1e-5 * np.linalg.norm(A[s] @ v)
 
 
-def test_dense_gevp_f32_path_resolves_wide_spectrum():
+@pytest.mark.parametrize("seed_mode", ["eigh", "subspace"])
+def test_dense_gevp_f32_path_resolves_wide_spectrum(seed_mode):
     """The mixed-precision (downcast) path on a pencil whose mu = 1/lambda
     spans 12 decades — the ring-pencil regime where the f32 seed and the
     refinement noise floor buried the mid-spectrum until the reg floor +
@@ -60,7 +61,9 @@ def test_dense_gevp_f32_path_resolves_wide_spectrum():
     W = np.linalg.qr(rng.normal(size=(p, p)))[0]
     C = L @ (W * mu) @ W.T @ L.T
     C = 0.5 * (C + C.T)
-    params = EigensolverParams(nev=m, threshold=-1.0, precision="f32")
+    params = EigensolverParams(
+        nev=m, threshold=-1.0, precision="f32", seed_mode=seed_mode
+    )
     lam, V, active = solve_gevp_dense(
         jnp.asarray(A)[None], jnp.asarray(C)[None], params
     )
