@@ -186,11 +186,19 @@ def _pcg_blocks(A, M, B, maxit: int):
     outputs only).  Fixed ``maxit`` keeps the loop compile-friendly;
     converged columns freeze via a mask instead of exiting early.
     """
-    import jax
     from jax import lax
 
+    k_rhs = B.shape[-1]
+
     def mv(K, V):
-        return jnp.einsum("sfg,sgk->sfk", K, V)
+        # per-RHS multiply+reduce: measured 0.036 s vs 0.105 s for the
+        # 8-wide f64 dot_general at (256,608,608) (scratch/
+        # assembly_probe_r3.py) — narrow f64 matmuls waste the emulation's
+        # MXU tiles, the fused elementwise pass runs at HBM bandwidth
+        cols = [
+            jnp.sum(K * V[:, None, :, j], axis=2) for j in range(k_rhs)
+        ]
+        return jnp.stack(cols, axis=2)
 
     b2 = jnp.sum(B * B, axis=1)  # (s, k)
     X0 = jnp.zeros_like(B)

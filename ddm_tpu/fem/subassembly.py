@@ -48,28 +48,43 @@ def subdomain_stamp_lists(
     Returns (sub_elems (n_sub, max_e) int64 padded with n_stamps,
              sub_locs (n_sub, max_e, nl) int32 padded with n_pad).
     """
+    import scipy.sparse as sps
+
     n_e, nl = dofs.shape
     n_sub, n_pad = topo.sub2glob.shape
+    n = topo.n_glob
 
-    lists = []
-    locs = []
-    for k in range(n_sub):
-        loc = topo.glob2loc[k][dofs]  # (n_e, nl), -1 outside
-        inside = (loc >= 0).all(axis=1)
-        if dof_mask is not None:
-            lm = np.where(loc >= 0, loc, 0)
-            inside &= np.where(loc >= 0, dof_mask[k][lm], False).all(axis=1)
-        ids = np.nonzero(inside)[0]
-        lists.append(ids)
-        locs.append(loc[ids])
-    max_e = max((len(l) for l in lists), default=1)
-    max_e = max(max_e, 1)
+    # inside(k, e) <=> every dof of stamp e lies in (the masked) subdomain k.
+    # Computed as one sparse matmul — a 256-iteration Python loop of
+    # (n_e, nl) fancy indexes here cost ~3 s of the bench's "assemble
+    # Neumann" phase on the 1-core host.
+    if dof_mask is None:
+        M = (topo.membership > 0).astype(np.int32).tocsr()
+    else:
+        mk, ml = np.nonzero(np.asarray(dof_mask, bool) & topo.valid)
+        cols = topo.sub2glob[mk, ml].astype(np.int64)
+        M = sps.csr_matrix(
+            (np.ones(mk.size, np.int32), (mk, cols)), shape=(n_sub, n)
+        )
+    inc = sps.csr_matrix(
+        (
+            np.ones(n_e * nl, np.int32),
+            (dofs.reshape(-1).astype(np.int64), np.repeat(np.arange(n_e), nl)),
+        ),
+        shape=(n, n_e),
+    )
+    C = (M @ inc).tocsr()
+    C.data[C.data != nl] = 0
+    C.eliminate_zeros()
+    sub_of, elem_of = C.nonzero()  # row-major: grouped by subdomain
+    counts = np.diff(C.indptr)
+    max_e = max(int(counts.max()) if counts.size else 1, 1)
+
     sub_elems = np.full((n_sub, max_e), n_e, dtype=np.int64)
     sub_locs = np.full((n_sub, max_e, nl), n_pad, dtype=np.int32)
-    for k in range(n_sub):
-        m = len(lists[k])
-        sub_elems[k, :m] = lists[k]
-        sub_locs[k, :m] = locs[k]
+    pos = np.arange(sub_of.size) - np.repeat(C.indptr[:-1], counts)
+    sub_elems[sub_of, pos] = elem_of
+    sub_locs[sub_of, pos] = topo.glob2loc[sub_of[:, None], dofs[elem_of]]
     return sub_elems, sub_locs
 
 
