@@ -122,14 +122,27 @@ def build_schwarz(
         hard_sync(A_sub)
     with scoped("Schwarz", "factorise"):
         # reduced-precision applies need the explicit-inverse mode regardless
-        # of backend (on CPU the default is triangular factors); dd also
-        # switches the construction itself to the fast f32-seed + dd-Newton
-        # path (solvers/direct.py)
+        # of backend (on CPU the default is triangular factors)
         mode = "inverse" if precision in ("f32", "dd") else "auto"
         sd = "dd" if precision == "dd" else None
-        factors = chunked_batch(
-            factor_batched_jit(solver_type, mode, store_dtype=sd), A_sub
+        on_cpu = jax.default_backend() == "cpu"
+        inverse_mode = mode == "inverse" or (mode == "auto" and not on_cpu)
+        construction = solver_sub.get(
+            "construction", "direct" if on_cpu else "newton"
         )
+        from ..solvers.direct import newton_inverse_batched, resolve_solver_type
+
+        if (construction == "newton" and inverse_mode
+                and resolve_solver_type(solver_type) == "cholesky"):
+            # f32 Cholesky seed + residual-controlled f64 Newton refinement
+            # (matmul-only) — ~2x the f64 Cholesky pipeline at bench scale,
+            # with an automatic exact-f64 fallback per chunk
+            # (solvers/direct.py:newton_inverse_batched)
+            factors = newton_inverse_batched(A_sub, store_dtype=sd)
+        else:
+            factors = chunked_batch(
+                factor_batched_jit(solver_type, mode, store_dtype=sd), A_sub
+            )
         hard_sync(factors)
     if precision in ("f32", "dd"):
         import dataclasses

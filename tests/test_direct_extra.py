@@ -81,3 +81,66 @@ def test_cholesky_batched_chunking_matches_unchunked():
     for cap in (1, 2, 3, 7, 96):
         chunked = np.asarray(cholesky_batched(Aj, cap=cap))
         assert np.array_equal(chunked, full), cap
+
+
+def test_newton_inverse_matches_direct():
+    """f32-seed + f64 Newton construction reaches the same inverse as the
+    direct f64 Cholesky pipeline (solvers/direct.py:newton_inverse_batched),
+    including on an ill-conditioned diagonal scaling (the equilibrated
+    high-contrast subdomain regime it exists for)."""
+    rng = np.random.default_rng(7)
+    from ddm_tpu.solvers.direct import factor_batched, newton_inverse_batched
+
+    p = 90
+    d = 10.0 ** rng.uniform(-2, 2, p)
+    A = rng.standard_normal((3, p, p))
+    A = A @ np.swapaxes(A, 1, 2) + p * np.eye(p)
+    A = d[None, :, None] * A * d[None, None, :]
+    Aj = jnp.asarray(A)
+    ref = factor_batched(Aj, "cholesky", mode="inverse", refine_steps=0)
+    got = newton_inverse_batched(Aj)
+    resid = np.linalg.norm(
+        np.eye(p) - np.einsum("spq,sqr->spr", A, np.asarray(got.inv)),
+        axis=(1, 2),
+    ).max()
+    assert resid < 1e-9
+    x = jnp.asarray(rng.standard_normal((3, p)))
+    b = jnp.einsum("spq,sq->sp", Aj, x)
+    diff = float(jnp.linalg.norm(got.solve(b) - ref.solve(b))
+                 / jnp.linalg.norm(x))
+    assert diff < 1e-9
+
+
+def test_newton_inverse_fallback_is_exact():
+    """With max_steps=0 the residual-controlled loop can never accept, so
+    the per-chunk exact-f64 fallback must produce the direct pipeline's
+    result — the guarantee that the Newton construction NEVER degrades the
+    preconditioner when the seed diverges."""
+    rng = np.random.default_rng(8)
+    from ddm_tpu.solvers.direct import factor_batched, newton_inverse_batched
+
+    p = 40
+    A = rng.standard_normal((2, p, p))
+    A = A @ np.swapaxes(A, 1, 2) + p * np.eye(p)
+    Aj = jnp.asarray(A)
+    ref = factor_batched(Aj, "cholesky", mode="inverse", refine_steps=0)
+    got = newton_inverse_batched(Aj, max_steps=0)
+    assert np.allclose(np.asarray(got.inv), np.asarray(ref.inv), rtol=0, atol=0)
+
+
+def test_newton_inverse_dd_packing():
+    """store_dtype='dd' returns the double-single apply container with the
+    hi+lo pair reconstructing the f64 inverse to ~2^-48."""
+    rng = np.random.default_rng(9)
+    from ddm_tpu.solvers.direct import BatchedInverseDD, newton_inverse_batched
+
+    p = 50
+    A = rng.standard_normal((2, p, p))
+    A = A @ np.swapaxes(A, 1, 2) + p * np.eye(p)
+    got = newton_inverse_batched(jnp.asarray(A), store_dtype="dd")
+    assert isinstance(got, BatchedInverseDD)
+    inv = np.asarray(got.inv_hi, np.float64) + np.asarray(got.inv_lo, np.float64)
+    resid = np.linalg.norm(
+        np.eye(p) - np.einsum("spq,sqr->spr", A, inv), axis=(1, 2)
+    ).max()
+    assert resid < 1e-9
