@@ -183,3 +183,22 @@ def test_gmres_sharded_two_level(mesh8):
     res_sh = solve(p, mesh=mesh8)
     assert bool(res_sh.converged)
     assert int(res_sh.iterations) == int(res_ref.iterations)
+
+
+def test_sharded_setup_newton_construction(mesh8):
+    """The f32-seed + f64 Newton factorise (TPU default construction,
+    solvers/direct.py:newton_inverse_batched) under the sharded setup: the
+    per-chunk residual-controlled host loop must work with GSPMD-sharded
+    chunks and produce the same iterates as the single-device build."""
+
+    def mut(pt):
+        pt["coarsespace.type"] = "geneo"
+        pt["geneo.eigensolver.nev"] = 3
+        pt["geneo.eigensolver.threshold"] = -1.0
+        # force the TPU-default construction on CPU; dd precision forces the
+        # explicit-inverse mode that makes it live
+        pt["schwarz.subdomain_solver.construction"] = "newton"
+        pt["schwarz.subdomain_solver.precision"] = "dd"
+        pt["solver.reduction"] = 1e-6
+
+    _sharded_parity(mut, mesh8)
