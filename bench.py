@@ -45,10 +45,15 @@ def build_problem(gridsize, parts, overlap, nev):
     pt["overlap"] = overlap
     pt["solver.reduction"] = 1e-8
     # DDM_BENCH_COARSE switches the TPU coarse space (geneo / geneo_ring /
-    # msgfem_ring / ...).  The CPU reference baseline always emulates the
-    # reference's full-GenEO algorithm, so ring runs are honest only if the
-    # iteration count stays comparable (bench asserts convergence either way).
-    cs = os.environ.get("DDM_BENCH_COARSE", "geneo")
+    # msgfem_ring / ...).  Headline default is geneo_ring — the reference
+    # built the ring spaces exactly to cut setup cost (coarse_spaces.hh:
+    # 502-648), and at bench scale it converges in FEWER iterations than
+    # full GenEO here (15 vs 17, true rel. res 1.5e-8; BASELINE.md round-3
+    # table).  The CPU reference baseline keeps emulating the reference's
+    # default full-GenEO algorithm, so the comparison stays
+    # reference-default vs our best config; set DDM_BENCH_COARSE=geneo for
+    # the like-for-like algorithm comparison.
+    cs = os.environ.get("DDM_BENCH_COARSE", "geneo_ring")
     pt["coarsespace.type"] = cs
     pt["coarse_solver.type"] = "cholesky"
     pt[f"{cs}.eigensolver.nev"] = nev

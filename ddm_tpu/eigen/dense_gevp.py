@@ -160,11 +160,19 @@ def solve_gevp_dense(
     # Cholesky/Linv stay f64 and the selected subspace is refined back to
     # f64 quality below with cheap nev-wide f64 ops
     if downcast:
-        L32, C32 = Linv.astype(jnp.float32), C.astype(jnp.float32)
-        S = jnp.einsum("spq,sqr,str->spt", L32, C32, L32)
+        # form the whitened operator ONCE in f64: two SQUARE matmuls run at
+        # the MXU's emulated-f64 rate (~640 GF/s-equiv) — measured 0.32 s at
+        # (256,464,464) vs ~0.95 s for the refinement loop's five thin
+        # (p x p)@(p x k) triple products they replace (thin f64 matmuls
+        # run ~70 GF/s on this backend; scratch/refine_profile_r3.py).  The
+        # f32 copy seeds the subspace iteration below.
+        S64 = jnp.einsum("spq,sqr->spr", Linv, C)
+        S64 = jnp.einsum("spq,srq->spr", S64, Linv)  # Linv C Linv^T
+        S64 = 0.5 * (S64 + jnp.swapaxes(S64, 1, 2))
+        S = S64.astype(jnp.float32)
     else:
         S = jnp.einsum("spq,sqr,str->spt", Linv, C, Linv)
-    S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
+        S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
     buf = min(params.refine_buf, p - m)
     if downcast and params.seed_mode in ("auto", "subspace"):
         # randomized block subspace iteration replaces the full f32 eigh as
@@ -191,8 +199,8 @@ def solve_gevp_dense(
 
     if downcast:
         # f64 subspace refinement: block inverse-free subspace iteration on
-        # S (applied as Linv C Linv^T — three nev-wide matmuls) + small-block
-        # Rayleigh-Ritz.  Restores the small-eigenvalue structure f32 eigh
+        # the precomputed f64 S64 + small-block generalized Rayleigh-Ritz.
+        # Restores the small-eigenvalue structure f32 eigh
         # loses on high-contrast pencils (without it, GenEO degrades badly
         # at scale: 16 -> >200 iterations on islands 384^2/256 subdomains).
         # The subspace carries `buf` extra seed vectors so the slow-
@@ -203,18 +211,51 @@ def solve_gevp_dense(
         # are accurate at (2, 8) (lam relerr <= 3e-2, and the kept-span
         # metric is degenerate at the cut); thin-support ring pencils need
         # (4, 24) for exact kept spans and their callers override.
-        def s_mul(W):
-            t = jnp.einsum("sqp,sqk->spk", Linv, W)  # Linv^T W
-            t = jnp.einsum("spq,sqk->spk", C, t)
-            return jnp.einsum("spq,sqk->spk", Linv, t)
+        # One thin f64 matmul per iteration (S64 was formed above at square-
+        # matmul rate).  Mid-loop orthonormalization factors are computed in
+        # f32: a right-multiplication W @ M preserves span(W) EXACTLY in
+        # f64, so only the basis CONDITIONING is f32-approximate — and the
+        # final Rayleigh-Ritz below is GENERALIZED (T z = mu G z with
+        # G = W^T W), which is f64-exact for any well-conditioned basis,
+        # orthonormal or not.  Measured: cholqr2's two f64 rounds cost
+        # 0.27 s/call at (256,464,40) — the small f64 chol/tri_solve
+        # recurrences dominate, and f32 halves the recurrence cost
+        # (scratch/refine_profile_r3.py).
+        kw = m + buf
 
-        W = Wt[:, :, -(m + buf):][:, :, ::-1].astype(out_dtype)
+        def ortho_cols_f32(W):
+            nrm = jnp.sqrt(jnp.sum(W * W, axis=1, keepdims=True))
+            W = W / jnp.maximum(nrm, 1e-300)
+            W32 = W.astype(jnp.float32)
+            G32 = jnp.einsum("spk,spl->skl", W32, W32)
+            G32 = G32 + (1e-6 * kw) * jnp.eye(kw, dtype=jnp.float32)[None]
+            Lg = jnp.linalg.cholesky(G32)
+            Li = jax.lax.linalg.triangular_solve(
+                Lg,
+                jnp.broadcast_to(jnp.eye(kw, dtype=jnp.float32), G32.shape),
+                left_side=True, lower=True,
+            )
+            return jnp.einsum("spk,slk->spl", W, Li.astype(out_dtype))
+
+        W = Wt[:, :, -kw:][:, :, ::-1].astype(out_dtype)
         for _ in range(params.refine_iters):
-            W = s_mul(W)
-            W = cholqr2(W)
-        T = jnp.einsum("spk,spl->skl", W, s_mul(W))
+            W = ortho_cols_f32(jnp.einsum("spq,sqk->spk", S64, W))
+        # generalized Rayleigh-Ritz on the refined basis, all-f64 small ops
+        SW = jnp.einsum("spq,sqk->spk", S64, W)
+        T = jnp.einsum("spk,spl->skl", W, SW)
         T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
-        mu_r, Z = jnp.linalg.eigh(T)  # (n_sub, m+buf) ascending — tiny, f64
+        G = jnp.einsum("spk,spl->skl", W, W)
+        G = 0.5 * (G + jnp.swapaxes(G, 1, 2))
+        G = G + (1e-14 * kw) * jnp.eye(kw, dtype=out_dtype)[None]
+        Lg = jnp.linalg.cholesky(G)
+        eye_k = jnp.broadcast_to(jnp.eye(kw, dtype=out_dtype), G.shape)
+        Lgi = jax.lax.linalg.triangular_solve(
+            Lg, eye_k, left_side=True, lower=True
+        )
+        Tw = jnp.einsum("skp,spq,slq->skl", Lgi, T, Lgi)  # Lg^-1 T Lg^-T
+        Tw = 0.5 * (Tw + jnp.swapaxes(Tw, 1, 2))
+        mu_r, Y = jnp.linalg.eigh(Tw)  # (n_sub, kw) ascending — tiny, f64
+        Z = jnp.einsum("sqk,sql->skl", Lgi, Y)  # Lg^-T Y
         mu_sel = mu_r[:, ::-1][:, :m]
         W_sel = jnp.einsum("spk,skl->spl", W, Z[:, :, ::-1][:, :, :m])
 
