@@ -29,7 +29,6 @@ import numpy as np
 
 from ..config import ParamTree
 from ..core.mesh import batched
-from ..eigen.dense_gevp import solve_gevp_dense
 from ..eigen.params import EigensolverParams
 from ..fem.subassembly import (
     eliminate_dirichlet_dense,

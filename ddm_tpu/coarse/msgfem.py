@@ -27,7 +27,7 @@ from ..core.mesh import batched
 import numpy as np
 
 from ..config import ParamTree
-from ..eigen.dense_gevp import solve_gevp_dense
+from ..eigen.dense_gevp import solve_gevp_dense_auto
 from ..eigen.params import EigensolverParams
 from .basis import finalize_basis
 from .extension import harmonic_parameter_basis
@@ -72,7 +72,7 @@ def msgfem_coarse_space(p, ptree: ParamTree, variant: str = "msgfem"):
     par = batched(par_mask)
     Ahat = Ahat + jnp.eye(topo.n_pad)[None] * (~par)[:, :, None]
     spd = variant != "algebraic_msgfem"
-    lam, W, active = solve_gevp_dense(Ahat, Bhat, params, spd=spd)
+    lam, W, active = solve_gevp_dense_auto(Ahat, Bhat, params, spd=spd)
     V = jnp.einsum("spq,skq->skp", H, W)
     V = jnp.where(batched(valid)[:, None, :], V, 0.0)
     return finalize_basis(V, pou, batched(valid), active)

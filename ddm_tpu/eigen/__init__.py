@@ -3,7 +3,11 @@ by config like the reference's solve_gevp (dune/ddm/eigensolvers/
 eigensolvers.hh:14-38 — there only Type::Spectra is implemented; the
 "KrylovSchur" type its configs reference maps to the iterative path here)."""
 
-from .dense_gevp import solve_gevp_dense, solve_gevp_dense_jit  # noqa: F401
+from .dense_gevp import (  # noqa: F401
+    solve_gevp_dense,
+    solve_gevp_dense_auto,
+    solve_gevp_dense_jit,
+)
 from .params import EigensolverParams  # noqa: F401
 
 _DENSE_NAMES = {"spectra", "dense"}
@@ -39,7 +43,7 @@ def solve_gevp(A, C, params: EigensolverParams, spd: bool = True,
         p = A.shape[-1]
         t = "spectra" if (p <= AUTO_CROSSOVER_P or not spd) else "lobpcg"
     if t in _DENSE_NAMES:
-        return solve_gevp_dense_jit(A, C, params, spd=spd)
+        return solve_gevp_dense_auto(A, C, params, spd=spd)
     if t in _ITERATIVE_NAMES:
         if not spd:
             raise ValueError(

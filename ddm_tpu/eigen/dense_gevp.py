@@ -29,7 +29,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from functools import partial
+from functools import lru_cache, partial
 
 from .params import EigensolverParams
 
@@ -76,12 +76,65 @@ def solve_gevp_dense_jit(A, C, params, reg=1e-12, spd=True):
     return solve_gevp_dense(A, C, params, reg=reg, spd=spd)
 
 
+@partial(jax.jit, static_argnames=("params", "reg", "spd"))
+def _gevp_white_jit(A, C, M, Aw, params, reg=1e-12, spd=True):
+    return solve_gevp_dense(A, C, params, reg=reg, spd=spd, whiten=(M, Aw))
+
+
+def _prep_spd_pencil(A, C, shift, reg):
+    """The sigma-shifted, diagonally regularized SPD pencil matrix the
+    whitener factors (identical to the in-jit prep of solve_gevp_dense)."""
+    sigma = float(max(shift, 0.0))
+    A = A + sigma * C if sigma > 0.0 else A
+    scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=1, axis2=2)), axis=1)
+    eps = reg * jnp.maximum(scale, 1.0)
+    return A + eps[:, None, None] * jnp.eye(A.shape[-1], dtype=A.dtype)[None]
+
+
+@lru_cache(maxsize=4)
+def _prep_jit():
+    return jax.jit(_prep_spd_pencil, static_argnames=("shift", "reg"))
+
+
+def solve_gevp_dense_auto(
+    A: jnp.ndarray,
+    C: jnp.ndarray,
+    params: EigensolverParams,
+    reg: float = 1e-12,
+    spd: bool = True,
+):
+    """Dense GEVP with the whitener chosen by ``params.whiten``.
+
+    ``staged`` (the TPU default via ``auto``) computes the congruence factor
+    by host-controlled mixed-precision staged whitening
+    (solvers/direct.py:staged_whiten_batched) — f32 Cholesky recurrences +
+    f64 square matmuls instead of the scalar-emulated f64 Cholesky +
+    triangular inverse (measured 4.8 s -> ~1.3 s at (256, 464, 464)) — and
+    feeds the whitened metric into the generalized Rayleigh-Ritz, so the
+    residual whitening error never biases the returned eigenpairs.  The
+    host-side residual control cannot run under jit, hence this eager entry;
+    ``chol`` / CPU / f64 / non-SPD pencils take the one-jit classic path.
+    """
+    prec = params.precision
+    if prec == "auto":
+        prec = "f64" if jax.default_backend() == "cpu" else "f32"
+    downcast = prec == "f32" and A.dtype == jnp.float64
+    if params.whiten == "chol" or not (spd and downcast):
+        return solve_gevp_dense_jit(A, C, params, reg=reg, spd=spd)
+    from ..solvers.direct import staged_whiten_batched
+
+    Areg = _prep_jit()(A, C, params.shift, reg)
+    M, Aw, _ = staged_whiten_batched(Areg)
+    return _gevp_white_jit(A, C, M, Aw, params, reg=reg, spd=spd)
+
+
 def solve_gevp_dense(
     A: jnp.ndarray,
     C: jnp.ndarray,
     params: EigensolverParams,
     reg: float = 1e-12,
     spd: bool = True,
+    whiten=None,
 ):
     """Solve the batched pencil (A, C), keep the smallest-lambda eigenpairs.
 
@@ -97,6 +150,12 @@ def solve_gevp_dense(
     Neumann matrices of Al Daas et al., which can be slightly indefinite;
     those near-null directions then surface as small lambda, i.e. they join
     the coarse space, which is the desired behavior.
+
+    whiten: optional precomputed congruence pair ``(Linv, Aw)`` with
+    ``Aw = Linv Areg Linv^T ~ I`` (from staged_whiten_batched via
+    solve_gevp_dense_auto); ``Aw`` enters the generalized Rayleigh-Ritz as
+    the metric, making the returned pairs exact Ritz pairs of the true
+    pencil even for an inexact whitener.
     """
     n_sub, p, _ = A.shape
     m = min(params.max_kept, p)
@@ -122,39 +181,44 @@ def solve_gevp_dense(
     # inverted spectrum at 1/sigma so the f32 eigh seed resolves the whole
     # kept block even next to near-kernel modes (mu ~ 1e10).
     sigma = float(max(params.shift, 0.0))
-    A = A + sigma * C if sigma > 0.0 else A
-    # regularization scaled by the mean diagonal
-    scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=1, axis2=2)), axis=1)
-    eps = reg * jnp.maximum(scale, 1.0)
-    eye = jnp.broadcast_to(jnp.eye(p, dtype=A.dtype), A.shape)
-    if spd:
-        Areg = A + eps[:, None, None] * jnp.eye(p, dtype=A.dtype)[None]
-        from ..solvers.direct import (
-            batched_tri_lower_inv,
-            cholesky_batched,
-            use_blocked_tri_inv,
-        )
-
-        # lax cholesky (blocked variants measured slower — see
-        # solvers/direct.py:factor_batched), batch-capped: the backend
-        # corrupts batched f64 Cholesky at batch >= 128 (direct.py)
-        L = cholesky_batched(Areg)
-        if jax.default_backend() == "cpu" or not use_blocked_tri_inv(n_sub):
-            Linv = jax.lax.linalg.triangular_solve(
-                L, eye, left_side=True, lower=True
-            )
-        else:
-            # blocked triangular inversion (solvers/direct.py): the cubic
-            # work runs as f64 matmuls instead of the backend's scalar
-            # -emulated triangular recurrence (~16 GF/s measured); lax
-            # cholesky itself measures fast and stays
-            Linv = batched_tri_lower_inv(L)
+    Aw = None
+    if whiten is not None:
+        Linv, Aw = whiten
     else:
-        d, Q = jnp.linalg.eigh(0.5 * (A + jnp.swapaxes(A, 1, 2)))
-        d = jnp.maximum(d, eps[:, None])
-        # A^{-1/2} = diag(d^{-1/2}) Q^T  (any square root works for the
-        # congruence transform)
-        Linv = Q.transpose(0, 2, 1) / jnp.sqrt(d)[:, :, None]
+        A = A + sigma * C if sigma > 0.0 else A
+        # regularization scaled by the mean diagonal
+        scale = jnp.mean(jnp.abs(jnp.diagonal(A, axis1=1, axis2=2)), axis=1)
+        eps = reg * jnp.maximum(scale, 1.0)
+        eye = jnp.broadcast_to(jnp.eye(p, dtype=A.dtype), A.shape)
+        if spd:
+            Areg = A + eps[:, None, None] * jnp.eye(p, dtype=A.dtype)[None]
+            from ..solvers.direct import (
+                batched_tri_lower_inv,
+                cholesky_batched,
+                use_blocked_tri_inv,
+            )
+
+            # lax cholesky (blocked variants measured slower — see
+            # solvers/direct.py:factor_batched), batch-capped: the backend
+            # corrupts batched f64 Cholesky at batch >= 128 (direct.py)
+            L = cholesky_batched(Areg)
+            if (jax.default_backend() == "cpu"
+                    or not use_blocked_tri_inv(n_sub)):
+                Linv = jax.lax.linalg.triangular_solve(
+                    L, eye, left_side=True, lower=True
+                )
+            else:
+                # blocked triangular inversion (solvers/direct.py): the
+                # cubic work runs as f64 matmuls instead of the backend's
+                # scalar-emulated triangular recurrence (~16 GF/s measured);
+                # lax cholesky itself measures fast and stays
+                Linv = batched_tri_lower_inv(L)
+        else:
+            d, Q = jnp.linalg.eigh(0.5 * (A + jnp.swapaxes(A, 1, 2)))
+            d = jnp.maximum(d, eps[:, None])
+            # A^{-1/2} = diag(d^{-1/2}) Q^T  (any square root works for the
+            # congruence transform)
+            Linv = Q.transpose(0, 2, 1) / jnp.sqrt(d)[:, :, None]
     # the big p x p work — forming S and its eigendecomposition — runs in
     # f32 on TPU (f64 emulated matmuls/eigh are 10-100x slower); the
     # Cholesky/Linv stay f64 and the selected subspace is refined back to
@@ -244,7 +308,15 @@ def solve_gevp_dense(
         SW = jnp.einsum("spq,sqk->spk", S64, W)
         T = jnp.einsum("spk,spl->skl", W, SW)
         T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
-        G = jnp.einsum("spk,spl->skl", W, W)
+        if Aw is None:
+            # exact f64 whitener: the metric is I up to eps_ds * cond
+            G = jnp.einsum("spk,spl->skl", W, W)
+        else:
+            # staged whitener: use the actual whitened metric Aw = I + E, so
+            # the Ritz pairs are exact for the true pencil regardless of the
+            # residual whitening error E (one extra thin f64 matmul)
+            AwW = jnp.einsum("spq,sqk->spk", Aw, W)
+            G = jnp.einsum("spk,spl->skl", W, AwW)
         G = 0.5 * (G + jnp.swapaxes(G, 1, 2))
         G = G + (1e-14 * kw) * jnp.eye(kw, dtype=out_dtype)[None]
         Lg = jnp.linalg.cholesky(G)

@@ -73,6 +73,15 @@ class EigensolverParams:
     seed_mode: str = "auto"
     seed_iters: int = 8
     seed_oversample: int = 16
+    # Whitener for the dense SPD path: "staged" = mixed-precision staged
+    # congruence whitening (f32 Cholesky stages + f64 square matmuls,
+    # solvers/direct.py:staged_whiten_batched — replaces the scalar-emulated
+    # f64 Cholesky + triangular inverse, measured 4.8 s -> ~1.3 s at ring
+    # bench scale); "chol" = the classic in-jit f64 Cholesky; "auto" =
+    # staged exactly where the mixed-precision downcast path runs (TPU/f32
+    # on f64 pencils), chol otherwise.  Config-revertible via
+    # eigensolver.whiten.
+    whiten: str = "auto"
 
     @staticmethod
     def from_ptree(sub: ParamTree) -> "EigensolverParams":
@@ -99,6 +108,7 @@ class EigensolverParams:
             seed_mode=sub.get("seed_mode", d.seed_mode),
             seed_iters=sub.get("seed_iters", d.seed_iters),
             seed_oversample=sub.get("seed_oversample", d.seed_oversample),
+            whiten=sub.get("whiten", d.whiten),
         )
 
     def with_refine(self, iters: int, buf: int) -> "EigensolverParams":

@@ -79,6 +79,71 @@ def test_dense_gevp_f32_path_resolves_wide_spectrum(seed_mode):
     np.testing.assert_allclose(lam[sel], lam_true[sel], rtol=3e-2)
 
 
+def test_staged_whitener_matches_chol_and_f64():
+    """The mixed-precision staged whitener (solvers/direct.py:
+    staged_whiten_batched + the whitened-metric Rayleigh-Ritz in
+    dense_gevp.py) must reproduce the f64-Cholesky whitener's eigenpairs on
+    near-singular high-contrast pencils — the ring-pencil regime (cond
+    1e9+) where a plain f32 Cholesky whitener fails outright (CLAUDE.md
+    failed experiments) and staging is what makes f32 recurrences safe."""
+    rng = np.random.default_rng(7)
+    n_sub, p, m = 5, 96, 6
+    As, Cs = [], []
+    for s in range(n_sub):
+        Q = np.linalg.qr(rng.standard_normal((p, p)))[0]
+        d = 10.0 ** rng.uniform(-9, 0, size=p)
+        d[:3] = 1e-12  # near-kernel block (Neumann-like)
+        A = (Q * d) @ Q.T
+        w = np.zeros(p)
+        w[: p // 3] = rng.uniform(0.5, 1.0, p // 3)  # thin support (ring)
+        C = (A * w[None, :] * w[:, None]) + 1e-8 * np.eye(p)
+        As.append(0.5 * (A + A.T))
+        Cs.append(0.5 * (C + C.T))
+    A = jnp.asarray(np.stack(As))
+    C = jnp.asarray(np.stack(Cs))
+    from dataclasses import replace
+
+    from ddm_tpu.eigen import solve_gevp_dense_auto, solve_gevp_dense_jit
+
+    params = EigensolverParams(
+        nev=m, threshold=-1.0, precision="f32", refine_iters=4, refine_buf=24
+    )
+    lam_s, V_s, _ = solve_gevp_dense_auto(A, C, replace(params, whiten="staged"))
+    lam_r, V_r, _ = solve_gevp_dense_jit(A, C, replace(params, precision="f64"))
+    np.testing.assert_allclose(
+        np.asarray(lam_s), np.asarray(lam_r), rtol=1e-3
+    )
+    for s in range(n_sub):
+        W1 = np.linalg.qr(np.asarray(V_s[s]).T)[0]
+        W2 = np.linalg.qr(np.asarray(V_r[s]).T)[0]
+        sv = np.linalg.svd(W1.T @ W2, compute_uv=False)
+        assert sv.min() > 1.0 - 1e-6  # kept spans coincide
+
+
+def test_staged_whitener_fallback_on_f32_failure():
+    """A subdomain whose f32 Cholesky cannot succeed (eigenvalues below
+    f32's representable spread) must come back through the shift-escalation
+    / exact-f64 fallback with the SAME whitening guarantee Aw = M A M^T
+    = I + E, ||E||_F <= rtol."""
+    from ddm_tpu.solvers.direct import staged_whiten_batched
+
+    rng = np.random.default_rng(11)
+    p = 64
+    mats = []
+    for dmin in (1e-2, 1e-10, 1e-7):  # benign, f32-hopeless, borderline
+        Q = np.linalg.qr(rng.standard_normal((p, p)))[0]
+        d = np.geomspace(1.0, dmin, p)
+        mats.append((Q * d) @ Q.T)
+    A = jnp.asarray(np.stack([0.5 * (M + M.T) for M in mats]))
+    M, Aw, resid = staged_whiten_batched(A, rtol=1e-3)
+    assert np.asarray(resid).max() < 1e-3
+    Aw2 = np.einsum("spq,sqr,str->spt", np.asarray(M), np.asarray(A),
+                    np.asarray(M))
+    E = Aw2 - np.eye(p)[None]
+    assert np.sqrt((E * E).sum((1, 2))).max() < 1e-3
+    np.testing.assert_allclose(np.asarray(Aw), Aw2, atol=1e-4)
+
+
 def test_gevp_threshold_selection():
     # diagonal pencil: A = diag(1..p), C = I -> lambda = 1..p
     p = 16
