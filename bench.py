@@ -70,6 +70,20 @@ def build_problem(gridsize, parts, overlap, nev):
         pt["schwarz.subdomain_solver.precision"] = prec
         pt["coarse_solver.precision"] = prec
     pt["solver.ortho"] = os.environ.get("DDM_BENCH_ORTHO", "f64")
+    # Generic sweep knob: DDM_BENCH_SET="key=val,key=val" applies raw ptree
+    # overrides after all of the above (ints/floats auto-parsed) — lets perf
+    # sweeps vary any config (e.g. geneo_ring.eigensolver.refine_iters)
+    # without editing this file.
+    for kv in filter(None, os.environ.get("DDM_BENCH_SET", "").split(",")):
+        k, _, v = kv.partition("=")
+        for cast in (int, float, str):
+            try:
+                v = cast(v)
+                break
+            except ValueError:
+                continue
+        log(f"override: {k} = {v!r}")
+        pt[k.strip()] = v
     return setup_problem(pt, problem=pm.islands(), parts=(parts, parts))
 
 

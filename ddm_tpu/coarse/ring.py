@@ -110,12 +110,17 @@ def geneo_ring_coarse_space(p, ptree: ParamTree, fine=None):
     from .extension import compact_maps, compact_mat, expand_rows
 
     topo = p.topo
-    params = EigensolverParams.from_ptree(ptree.sub("geneo_ring.eigensolver"))
+    es = ptree.sub("geneo_ring.eigensolver")
+    params = EigensolverParams.from_ptree(es)
     ext_cfg = ptree.sub("geneo_ring.extension")
     # thin-annulus ring pencils need the larger mixed-precision
-    # refinement budget for exact kept spans (params.py, offline grid)
-    params = params.with_refine(max(params.refine_iters, 4),
-                                max(params.refine_buf, 24))
+    # refinement budget for exact kept spans (params.py, offline grid);
+    # an EXPLICIT config value wins over the floor (perf sweeps)
+    params = params.with_refine(
+        params.refine_iters if "refine_iters" in es
+        else max(params.refine_iters, 4),
+        params.refine_buf if "refine_buf" in es
+        else max(params.refine_buf, 24))
     pou = batched(p.pou)
     valid = topo.valid
     local_cols = extraction_map(topo, np.asarray(p.A.colsT).T)
@@ -177,9 +182,13 @@ def msgfem_ring_coarse_space(p, ptree: ParamTree, fine=None):
     )
 
     topo = p.topo
-    params = EigensolverParams.from_ptree(ptree.sub("msgfem_ring.eigensolver"))
-    params = params.with_refine(max(params.refine_iters, 4),
-                                max(params.refine_buf, 24))
+    es = ptree.sub("msgfem_ring.eigensolver")
+    params = EigensolverParams.from_ptree(es)
+    params = params.with_refine(
+        params.refine_iters if "refine_iters" in es
+        else max(params.refine_iters, 4),
+        params.refine_buf if "refine_buf" in es
+        else max(params.refine_buf, 24))
     ext_cfg = ptree.sub("msgfem_ring.extension")
     shrink = ptree.sub("pou").get("shrink", 0)
     pou = batched(p.pou)
