@@ -137,8 +137,18 @@ def build_schwarz(
             # f32 Cholesky seed + residual-controlled f64 Newton refinement
             # (matmul-only) — ~2x the f64 Cholesky pipeline at bench scale,
             # with an automatic exact-f64 fallback per chunk
-            # (solvers/direct.py:newton_inverse_batched)
-            factors = newton_inverse_batched(A_sub, store_dtype=sd)
+            # (solvers/direct.py:newton_inverse_batched).  newton_rtol
+            # overrides the step-input stop threshold (default 1e-6 ->
+            # exact-inverse grade ~1e-12 output residual); larger values
+            # give a preconditioner-grade inverse in fewer f64 steps —
+            # Newton error is MULTIPLICATIVE (X = A^{-1}(I+E)), so unlike
+            # the failed additive f32 apply path it does not perturb the
+            # small-eigenvalue structure.
+            nrtol = solver_sub.get("newton_rtol", None)
+            factors = newton_inverse_batched(
+                A_sub, store_dtype=sd,
+                rtol=float(nrtol) if nrtol is not None else None,
+            )
         else:
             factors = chunked_batch(
                 factor_batched_jit(solver_type, mode, store_dtype=sd), A_sub

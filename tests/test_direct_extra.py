@@ -144,3 +144,37 @@ def test_newton_inverse_dd_packing():
         np.eye(p) - np.einsum("spq,sqr->spr", A, inv), axis=(1, 2)
     ).max()
     assert resid < 1e-9
+
+
+def test_newton_rtol_config_flows_to_factorise(monkeypatch):
+    """schwarz.subdomain_solver.newton_rtol must reach
+    newton_inverse_batched (precond/schwarz.py factorise dispatch), and a
+    PRECONDITIONER-grade loose tolerance must still converge the solve to
+    the same reduction: Newton error is multiplicative, X = A^{-1}(I+E),
+    so it does not perturb the small-eigenvalue structure the way the
+    rejected additive f32 apply path did."""
+    import ddm_tpu.solvers.direct as direct
+    from ddm_tpu.api import default_ptree, setup_problem, solve
+    from ddm_tpu.fem import problems
+
+    seen = {}
+    orig = direct.newton_inverse_batched
+
+    def spy(A, store_dtype=None, rtol=None, max_steps=None):
+        seen["rtol"] = rtol
+        return orig(A, store_dtype=store_dtype, rtol=rtol,
+                    max_steps=max_steps)
+
+    monkeypatch.setattr(direct, "newton_inverse_batched", spy)
+    pt = default_ptree()
+    pt["gridsize"] = 32
+    pt["schwarz.subdomain_solver.construction"] = "newton"
+    # f32 storage precision forces explicit-inverse mode on the CPU test
+    # backend so the newton construction branch is reachable
+    pt["schwarz.subdomain_solver.precision"] = "f32"
+    pt["schwarz.subdomain_solver.newton_rtol"] = 0.02
+    pt["solver.reduction"] = 1e-6
+    p = setup_problem(pt, problem=problems.islands(), parts=(2, 2))
+    res = solve(p)
+    assert seen["rtol"] == pytest.approx(0.02)
+    assert res.converged
