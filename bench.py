@@ -70,6 +70,20 @@ def build_problem(gridsize, parts, overlap, nev):
         pt["schwarz.subdomain_solver.precision"] = prec
         pt["coarse_solver.precision"] = prec
     pt["solver.ortho"] = os.environ.get("DDM_BENCH_ORTHO", "f64")
+    # Preconditioner-grade Newton stop for the fine explicit inverses:
+    # measured at bench scale (scratch/setup_sweep_r3b.py, islands 384^2/256,
+    # contrast 1e6) rtol 4e-1 / 2e-2 / 1e-6 all give the SAME 15 GMRES
+    # iterations and true rel. residual 1.52e-8 — Newton error is
+    # multiplicative, X = A^{-1}(I+E), so a rough inverse rescales the
+    # preconditioned spectrum without perturbing the small-eigenvalue
+    # structure (unlike the failed additive f32 apply path) — while warm
+    # setup drops 13.1 -> 9.4 s.  The ring extension's reuse of this inverse
+    # is residual-VERIFIED with a direct fallback (coarse/ring.py), so the
+    # looser stop can cost wall-clock but never correctness.  Library
+    # default stays exact-grade 1e-6 (reference parity: exact UMFPACK
+    # subdomain solves); the bench opts in explicitly, like choosing the
+    # ring coarse space.  Override via DDM_BENCH_SET=...newton_rtol=1e-6.
+    pt["schwarz.subdomain_solver.newton_rtol"] = 4e-1
     # Generic sweep knob: DDM_BENCH_SET="key=val,key=val" applies raw ptree
     # overrides after all of the above (ints/floats auto-parsed) — lets perf
     # sweeps vary any config (e.g. geneo_ring.eigensolver.refine_iters)
