@@ -40,44 +40,78 @@ from ..precond.extract import gather_subdomain
 from .basis import CoarseBasis, finalize_basis
 
 
-def neumann_matrices(p, region_b: str = "overlap"):
+def neumann_matrices(p, region_b: str = "overlap", method: str = "auto"):
     """Assemble (A_neu, B_neu) dense batches for DDMProblem ``p``.
 
     region_b: "overlap" (reference NeumannRegion::Overlap for the GEVP rhs)
     or "all" (B == A).  Matrices are produced in the same (optionally
     equilibrated) variables as ``p.A``: congruence scaling leaves the GEVP
     eigenvalues unchanged and maps eigenvectors consistently.
+
+    method: "auto" picks the subtraction fast path when valid (see below),
+    "sum"/"subtract" force a path (parity tests).
     """
     from ..obs.logger import hard_sync, scoped as _scoped
 
     disc, topo = p.disc, p.topo
+    rect = getattr(topo, "rect", None)
+    # subtraction fast path: A_neu = A_dir(extracted, scatter-free) minus the
+    # crossing-stamp corrections — valid when the stamps sum exactly to the
+    # global operator, worthwhile when the rect stencil extraction applies
+    # (else the big extraction scatter costs what the stamp scatter did)
+    fast = _neumann_fast_ok(p)
+    if method == "sum":
+        fast = False
+    elif method == "subtract":
+        if not fast:
+            raise ValueError("subtraction path preconditions not met")
     with _scoped("Eigensolver", "assemble Neumann"):
         groups = disc.neumann_stamps()
-        A_neu = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
-        for dofs, K in groups:
-            sub_e, sub_l = subdomain_stamp_lists(dofs, topo)
-            A_neu = A_neu + neumann_dense(
-                K, batched(sub_e), batched(sub_l), topo.n_pad
-            )
-        if region_b == "all":
-            B_neu = A_neu
-        else:
-            ovlp_mask = topo.bdist <= 2 * topo.overlap
-            B_neu = jnp.zeros_like(A_neu)
-            for dofs, K in groups:
-                sub_e2, sub_l2 = subdomain_stamp_lists(
-                    dofs, topo, dof_mask=ovlp_mask
-                )
-                B_neu = B_neu + neumann_dense(
-                    K, batched(sub_e2), batched(sub_l2), topo.n_pad
-                )
-
-        # same variables as the global operator (Jacobi equilibration is a
-        # congruence transform: scale rows+cols by the gathered scale vector)
+        s_sub = None
         if p.scale is not None:
             s_sub = gather_subdomain(p.scale, batched(topo.sub2glob))
-            A_neu = A_neu * s_sub[:, :, None] * s_sub[:, None, :]
-            B_neu = B_neu * s_sub[:, :, None] * s_sub[:, None, :]
+        if fast:
+            from ..precond.extract import extract_subdomain_dense
+
+            A_dir = extract_subdomain_dense(
+                p.A, batched(topo.sub2glob), batched(topo.valid), None,
+                unit_padding_diag=False, rect=rect,
+            )
+            # B first, then A consuming the extraction last — keeps the
+            # peak at 3 live (n_sub, n_pad, n_pad) f64 buffers (4.4 GB at
+            # bench scale; each is 1.47 GB)
+            if region_b != "all":
+                ovlp_mask = topo.bdist <= 2 * topo.overlap
+                B_neu = _masked_subtract(p, A_dir, ovlp_mask, groups, s_sub)
+            A_neu = _masked_subtract(p, A_dir, None, groups, s_sub)
+            del A_dir
+            if region_b == "all":
+                B_neu = A_neu
+        else:
+            A_neu = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
+            for dofs, K in groups:
+                sub_e, sub_l = subdomain_stamp_lists(dofs, topo)
+                A_neu = A_neu + neumann_dense(
+                    K, batched(sub_e), batched(sub_l), topo.n_pad
+                )
+            if region_b == "all":
+                B_neu = A_neu
+            else:
+                ovlp_mask = topo.bdist <= 2 * topo.overlap
+                B_neu = jnp.zeros_like(A_neu)
+                for dofs, K in groups:
+                    sub_e2, sub_l2 = subdomain_stamp_lists(
+                        dofs, topo, dof_mask=ovlp_mask
+                    )
+                    B_neu = B_neu + neumann_dense(
+                        K, batched(sub_e2), batched(sub_l2), topo.n_pad
+                    )
+
+            # same variables as the global operator (Jacobi equilibration is
+            # a congruence: scale rows+cols by the gathered scale vector)
+            if s_sub is not None:
+                A_neu = A_neu * s_sub[:, :, None] * s_sub[:, None, :]
+                B_neu = B_neu * s_sub[:, :, None] * s_sub[:, None, :]
 
         dmask_sub = gather_subdomain(
             p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
@@ -112,7 +146,8 @@ def dirichlet_dense(p):
     topo = p.topo
     lc = extraction_map(topo, np.asarray(p.A.colsT).T)
     A_dir = extract_subdomain_dense(
-        p.A, batched(topo.sub2glob), batched(topo.valid), batched(lc)
+        p.A, batched(topo.sub2glob), batched(topo.valid), batched(lc),
+        rect=getattr(topo, "rect", None),
     )
     dmask_sub = gather_subdomain(
         p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
@@ -121,20 +156,76 @@ def dirichlet_dense(p):
     return A_dir, dmask_sub
 
 
-def region_neumann(p, dof_mask):
+def _neumann_fast_ok(p) -> bool:
+    """Preconditions of the A_dir-subtraction Neumann assembly (see
+    :func:`neumann_matrices`)."""
+    from ..precond.extract import _rect_stencil_meta
+
+    rect = getattr(p.topo, "rect", None)
+    return (
+        getattr(p.disc, "stamps_cover_operator", False)
+        and rect is not None
+        and p.A.offsets is not None
+        and (p.A.fix_rows is None or p.A.fix_rows.shape[0] == 0)
+        and _rect_stencil_meta(rect, p.A.offsets) is not None
+    )
+
+
+def _masked_subtract(p, A_dir, mask_np, groups, s_sub):
+    """Region Neumann matrix by subtraction: restrict the extracted A_dir to
+    the masked dof pairs and subtract the stamps that cross the region
+    boundary (1..nl-1 dofs inside) — every element contributing to an
+    inside pair is either fully inside (keep) or crossing (subtract).
+    mask_np None means the full subdomain."""
+    from ..fem.subassembly import crossing_stamp_lists
+
+    topo = p.topo
+    A = A_dir
+    if mask_np is not None:
+        bm = batched(np.asarray(mask_np) & topo.valid)
+        A = jnp.where(bm[:, :, None] & bm[:, None, :], A_dir, 0.0)
+    for dofs, K in groups:
+        ce, cl = crossing_stamp_lists(dofs, topo, dof_mask=mask_np)
+        corr = neumann_dense(K, batched(ce), batched(cl), topo.n_pad)
+        if s_sub is not None:  # match A_dir's equilibrated variables
+            corr = corr * s_sub[:, :, None] * s_sub[:, None, :]
+        A = A - corr
+    return A
+
+
+def region_neumann(p, dof_mask, method: str = "auto"):
     """Neumann matrix of a sub-region: element/face stamps fully inside the
     per-subdomain dof mask (reference: the matrix_size_eq_subdomain=false
     ring assembly path, examples/pdelab_helper.hh:343-396 — here kept at full
-    padded size with zeros outside the region)."""
+    padded size with zeros outside the region).
+
+    method as in :func:`neumann_matrices`: "auto" uses the A_dir-subtraction
+    form when valid (rings: crossing stamps are two perimeters vs the full
+    ring area, and the dense extraction is scatter-free on the rect canvas).
+    """
     disc, topo = p.disc, p.topo
     groups = disc.neumann_stamps()
-    A = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
-    for dofs, K in groups:
-        se, sl = subdomain_stamp_lists(dofs, topo, dof_mask=np.asarray(dof_mask))
-        A = A + neumann_dense(K, batched(se), batched(sl), topo.n_pad)
+    fast = _neumann_fast_ok(p) if method == "auto" else (method == "subtract")
+    s_sub = None
     if p.scale is not None:
         s_sub = gather_subdomain(p.scale, batched(topo.sub2glob))
-        A = A * s_sub[:, :, None] * s_sub[:, None, :]
+    if fast:
+        from ..precond.extract import extract_subdomain_dense
+
+        A_dir = extract_subdomain_dense(
+            p.A, batched(topo.sub2glob), batched(topo.valid), None,
+            unit_padding_diag=False, rect=topo.rect,
+        )
+        A = _masked_subtract(p, A_dir, np.asarray(dof_mask), groups, s_sub)
+    else:
+        A = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
+        for dofs, K in groups:
+            se, sl = subdomain_stamp_lists(
+                dofs, topo, dof_mask=np.asarray(dof_mask)
+            )
+            A = A + neumann_dense(K, batched(se), batched(sl), topo.n_pad)
+        if s_sub is not None:
+            A = A * s_sub[:, :, None] * s_sub[:, None, :]
     dmask_sub = gather_subdomain(
         p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
     ) > 0
@@ -154,7 +245,8 @@ def algebraic_neumann(p):
     ell = p.A
     lc = extraction_map(topo, np.asarray(ell.colsT).T)
     A_dir = extract_subdomain_dense(
-        ell, batched(topo.sub2glob), batched(topo.valid), batched(lc)
+        ell, batched(topo.sub2glob), batched(topo.valid), batched(lc),
+        rect=getattr(topo, "rect", None),
     )
     # row sums of |A[i, j]| for j OUTSIDE the subdomain: total |row| minus
     # in-subdomain |row|

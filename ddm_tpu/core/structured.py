@@ -238,6 +238,92 @@ def rect_gather(x: jnp.ndarray, meta: RectMeta) -> jnp.ndarray:
     return X
 
 
+def rect_offset_decomp(offsets, meta: RectMeta):
+    """Host: map each global stencil offset ``d`` (col = row + d on the
+    row-major (ny, nx) dof grid) to its canvas-local offset ``dr*w + dc``.
+
+    Returns a list of (dr, dc) or None when any offset does not decompose
+    into a small-|dc| grid step (-> general extraction path).
+    """
+    out = []
+    for d in offsets:
+        d = int(d)
+        dr = int(np.round(d / meta.nx)) if meta.nx else 0
+        dc = d - dr * meta.nx
+        if abs(dc) > max(4, meta.w // 4) or not (-meta.h < dr < meta.h):
+            return None
+        out.append((dr, dc))
+    return out
+
+
+def _rect_window_masks(decomp, meta: RectMeta) -> np.ndarray:
+    """Host: (m, n_pad) bool — slot k's entry at canvas slot l is kept only
+    when the neighbour slot l + dr*w + dc stays inside the (h, w) canvas
+    window (crossing a canvas row is a different dof entirely)."""
+    lr, lc = np.divmod(np.arange(meta.h * meta.w), meta.w)
+    masks = np.zeros((len(decomp), meta.n_pad), dtype=bool)
+    for k, (dr, dc) in enumerate(decomp):
+        ok = ((lr + dr >= 0) & (lr + dr < meta.h)
+              & (lc + dc >= 0) & (lc + dc < meta.w))
+        masks[k, : meta.h * meta.w] = ok
+    return masks
+
+
+def rect_dense_from_stencil(
+    valsT: jnp.ndarray,
+    valid: jnp.ndarray,
+    meta: RectMeta,
+    decomp,
+    window_masks: np.ndarray,
+    unit_padding_diag: bool = True,
+) -> jnp.ndarray:
+    """Scatter-free batched dense subdomain extraction for offset-aligned
+    stencil operators on the rect canvas.
+
+    The general ``extract_subdomain_dense`` places (n_sub, n_pad, m) gathered
+    row values into the dense batch with one ``at[].add`` — a ~2M-element
+    scatter that executes element-at-a-time on this backend (~0.5 s at the
+    384²/256 bench, measured round 3).  Here instead, for each stencil slot
+    (global column offset d = dr*nx + dc): the slot's global value stream
+    ``valsT[k]`` IS the subdomain-dense diagonal at constant local offset
+    ``o = dr*w + dc`` (the canvas makes local index = (r-a_r)*w + (c-a_c), so
+    global grid steps are constant local steps).  Each slot is rect_gather'd
+    (pure layout transform), masked (both endpoints valid + neighbour inside
+    the canvas window), accumulated into a (n_sub, n_pad, n_pad+1) band
+    array, and the band is placed onto the dense diagonals with the classic
+    stride-(n_pad+1) flatten/shift/reshape — all bandwidth-bound, no gather
+    or scatter anywhere.
+
+    Exactness: identical entries to the general path (same values read from
+    the same slots; masking reproduces the drop-outside-columns rule).
+    """
+    n_pad = meta.n_pad
+    n_sub = valid.shape[0]
+    offs = [dr * meta.w + dc for dr, dc in decomp]
+    lo = min(min(offs), 0)
+    width = n_pad + 1
+    U = jnp.zeros((n_sub, n_pad, width), valsT.dtype)
+    wm = jnp.asarray(window_masks)
+    for k, o in enumerate(offs):
+        g = rect_gather(valsT[k], meta)  # (n_sub, n_pad)
+        # neighbour validity: valid[:, l + o] with out-of-range -> False
+        if o >= 0:
+            nbr = jnp.pad(valid, ((0, 0), (0, o)))[:, o:]
+        else:
+            nbr = jnp.pad(valid, ((0, 0), (-o, 0)))[:, :n_pad]
+        g = jnp.where(valid & nbr & wm[k][None, :], g, 0.0)
+        U = U.at[:, :, o - lo].add(g)
+    flat = U.reshape(n_sub, n_pad * width)
+    # value of slot (i, o) sits at i*(n_pad+1) + (o - lo); the dense target
+    # position is i*n_pad + (i + o) = i*(n_pad+1) + o  ->  shift by lo
+    A = lax.slice(flat, (0, -lo), (n_sub, n_pad * n_pad - lo))
+    A = A.reshape(n_sub, n_pad, n_pad)
+    if unit_padding_diag:
+        diag = jnp.where(valid, 0.0, 1.0).astype(A.dtype)
+        A = A + jnp.eye(n_pad, dtype=A.dtype)[None, :, :] * diag[:, :, None]
+    return A
+
+
 def rect_scatter_add(x_sub: jnp.ndarray, meta: RectMeta) -> jnp.ndarray:
     """(n_sub, n_pad) canvas-layout -> global (n,) by summation — the exact
     adjoint of :func:`rect_gather` (out-of-domain canvas slots are dropped,

@@ -125,6 +125,16 @@ class Discretization:
             self._elem_nodes[:, :, None] * self.n_comp + np.arange(self.n_comp)
         ).reshape(self.grid.n_elems, -1)
 
+    @property
+    def stamps_cover_operator(self) -> bool:
+        """True when ``neumann_stamps()`` sums exactly to the assembled
+        global operator (pre-elimination) — the requirement of the Neumann
+        subtraction fast path (coarse/geneo.py:neumann_matrices).  CG
+        assembly is a pure element sum, so this holds whenever the stamps
+        use the same operator as ``assemble`` (i.e. the problem is already
+        symmetric; nonsymmetric problems stamp the symmetrized operator)."""
+        return getattr(self.problem, "symmetric", True) is not False
+
     def neumann_stamps(self, problem=None):
         """Assembly stamps for subdomain Neumann matrices: list of
         (global dof tuples (n_stamps, nl) numpy, blocks (n_stamps, nl, nl)

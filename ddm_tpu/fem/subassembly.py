@@ -88,6 +88,72 @@ def subdomain_stamp_lists(
     return sub_elems, sub_locs
 
 
+def crossing_stamp_lists(
+    dofs: np.ndarray,
+    topo: DDMTopology,
+    dof_mask: np.ndarray | None = None,
+):
+    """Host: per subdomain, the stamps PARTIALLY inside its (masked) dof set
+    — the Neumann *correction* stamps.
+
+    This is the subtraction form of the reference's AssembleWrapper capture
+    (examples/assemblewrapper.hh:27-490): instead of summing the elements
+    fully inside the region, sum A_glob restricted to the region and
+    subtract the contributions of elements that cross its boundary.  At
+    bench scale crossing stamps are ~a perimeter (≈1/7 of the full count),
+    so the dense scatter-add — element-at-a-time on this TPU backend —
+    shrinks by the same factor.
+
+    Returns (sub_elems, sub_locs) exactly like
+    :func:`subdomain_stamp_lists`, except stamps have 1..nl-1 dof
+    occurrences inside, and dof slots OUTSIDE the (masked) set map to the
+    dump slot ``n_pad`` so their contributions fall off the dense canvas.
+    """
+    import scipy.sparse as sps
+
+    n_e, nl = dofs.shape
+    n_sub, n_pad = topo.sub2glob.shape
+    n = topo.n_glob
+
+    inset = None  # None -> in-set == in-subdomain (glob2loc >= 0)
+    if dof_mask is None:
+        M = (topo.membership > 0).astype(np.int32).tocsr()
+    else:
+        mk, ml = np.nonzero(np.asarray(dof_mask, bool) & topo.valid)
+        cols = topo.sub2glob[mk, ml].astype(np.int64)
+        inset = np.zeros((n_sub, n), dtype=bool)
+        inset[mk, cols] = True
+        M = sps.csr_matrix(
+            (np.ones(mk.size, np.int32), (mk, cols)), shape=(n_sub, n)
+        )
+    inc = sps.csr_matrix(
+        (
+            np.ones(n_e * nl, np.int32),
+            (dofs.reshape(-1).astype(np.int64), np.repeat(np.arange(n_e), nl)),
+        ),
+        shape=(n, n_e),
+    )
+    C = (M @ inc).tocsr()
+    C.data[C.data == nl] = 0  # drop fully-inside stamps; partial ones stay
+    C.eliminate_zeros()
+    sub_of, elem_of = C.nonzero()
+    counts = np.diff(C.indptr)
+    max_e = max(int(counts.max()) if counts.size else 1, 1)
+
+    sub_elems = np.full((n_sub, max_e), n_e, dtype=np.int64)
+    sub_locs = np.full((n_sub, max_e, nl), n_pad, dtype=np.int32)
+    pos = np.arange(sub_of.size) - np.repeat(C.indptr[:-1], counts)
+    sub_elems[sub_of, pos] = elem_of
+    locs = topo.glob2loc[sub_of[:, None], dofs[elem_of]]
+    if inset is None:
+        locs = np.where(locs < 0, n_pad, locs)
+    else:
+        ok = inset[sub_of[:, None], dofs[elem_of]] & (locs >= 0)
+        locs = np.where(ok, locs, n_pad)
+    sub_locs[sub_of, pos] = locs.astype(np.int32)
+    return sub_elems, sub_locs
+
+
 def subdomain_element_lists(
     elems: np.ndarray,
     topo: DDMTopology,

@@ -323,7 +323,8 @@ def build_galerkin(
 
                 lc = extraction_map(topo, np.asarray(ell.colsT).T)
                 A_sub = extract_subdomain_dense(
-                    ell, s2g, batched(topo.valid), batched(lc)
+                    ell, s2g, batched(topo.valid), batched(lc),
+                    rect=getattr(topo, "rect", None),
                 )
             E = galerkin_coarse_matrix_pairs(A_sub, topo, basis)
         elif method == "global":

@@ -109,7 +109,10 @@ def build_schwarz(
     sub2glob_j = batched(topo.sub2glob)
     valid_j = batched(topo.valid)
     with scoped("Schwarz", "extract"):
-        A_sub = extract_subdomain_dense(ell, sub2glob_j, valid_j, local_cols_j)
+        A_sub = extract_subdomain_dense(
+            ell, sub2glob_j, valid_j, local_cols_j,
+            rect=getattr(topo, "rect", None),
+        )
         if modify:
             # eliminate subdomain-boundary dofs before factorising
             # (reference option modify_subdomain_matrix,

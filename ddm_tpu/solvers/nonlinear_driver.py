@@ -79,7 +79,8 @@ class TwoLevelNewtonSolver:
                 extraction_map(self.topo, np.asarray(J.colsT).T)
             )
         A_sub = extract_subdomain_dense(
-            J, self.sub2glob, self.valid, self._local_cols
+            J, self.sub2glob, self.valid, self._local_cols,
+            rect=getattr(self.topo, "rect", None),
         )
         factors = factor_batched(A_sub, self.sub_solver)
         pou = self.pou_j if self.schwarz_type == "restricted" else \

@@ -113,3 +113,101 @@ def test_two_level_apply_fast_equals_general():
             np.asarray(sub.apply(d)), np.asarray(slow.apply(d)),
             rtol=1e-13, atol=1e-13,
         )
+
+
+def test_rect_dense_extraction_equals_general():
+    """Scatter-free stencil extraction (rect_dense_from_stencil) must equal
+    the general gather+scatter path bit-for-bit (same values, different
+    placement only)."""
+    from ddm_tpu.core.indexmaps import extraction_map
+    from ddm_tpu.precond.extract import _rect_stencil_meta, extract_subdomain_dense
+
+    for kwargs in ({}, {"parts": (4, 2)}):
+        p = _problem(**kwargs)
+        topo = p.topo
+        assert topo.rect is not None and p.A.offsets is not None
+        assert _rect_stencil_meta(topo.rect, p.A.offsets) is not None
+        lc = batched(extraction_map(topo, np.asarray(p.A.colsT).T))
+        args = (p.A, batched(topo.sub2glob), batched(topo.valid), lc)
+        for unit in (True, False):
+            fast = extract_subdomain_dense(
+                *args, unit_padding_diag=unit, rect=topo.rect)
+            gen = extract_subdomain_dense(
+                *args, unit_padding_diag=unit, rect=None)
+            np.testing.assert_allclose(
+                np.asarray(fast), np.asarray(gen), rtol=0, atol=0)
+
+
+def test_rect_dense_extraction_vector_q1():
+    from ddm_tpu.fem.grids import structured_grid
+    from ddm_tpu.fem.problems import ElasticityProblem
+    from ddm_tpu.core.indexmaps import extraction_map
+    from ddm_tpu.precond.extract import _rect_stencil_meta, extract_subdomain_dense
+
+    ep = ElasticityProblem(
+        lam=lambda x: jnp.full(x.shape[:-1], 100.0),
+        mu=lambda x: jnp.full(x.shape[:-1], 1000.0),
+        f=lambda x: jnp.stack([jnp.zeros(x.shape[:-1]),
+                               jnp.full(x.shape[:-1], -9.81)], -1),
+        g=lambda x: jnp.zeros(x.shape[:-1] + (2,)),
+        is_dirichlet=lambda x: x[..., 0] < 1e-9,
+        name="plate2d",
+    )
+    pt = default_ptree()
+    pt["overlap"] = 2
+    p = setup_problem(pt, problem=ep, grid=structured_grid((32, 32)),
+                      parts=(4, 4), n_comp=2)
+    topo = p.topo
+    assert topo.rect is not None and p.A.offsets is not None
+    assert _rect_stencil_meta(topo.rect, p.A.offsets) is not None
+    lc = batched(extraction_map(topo, np.asarray(p.A.colsT).T))
+    fast = extract_subdomain_dense(
+        p.A, batched(topo.sub2glob), batched(topo.valid), lc, rect=topo.rect)
+    gen = extract_subdomain_dense(
+        p.A, batched(topo.sub2glob), batched(topo.valid), lc, rect=None)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(gen),
+                               rtol=0, atol=0)
+
+
+def test_neumann_subtraction_equals_stamp_sum():
+    """A_dir-subtraction Neumann assembly (crossing stamps only) must match
+    the fully-inside stamp-sum path on both the subdomain (A_neu) and the
+    overlap-region (B_neu) matrices, and on a ring region_neumann."""
+    from ddm_tpu.coarse.geneo import (
+        _neumann_fast_ok, neumann_matrices, region_neumann,
+    )
+
+    p = _problem()  # islands 64²/16, contrast 1e6, equilibrated
+    assert _neumann_fast_ok(p)
+    A_f, B_f = neumann_matrices(p, method="subtract")
+    A_s, B_s = neumann_matrices(p, method="sum")
+    scale = float(jnp.max(jnp.abs(A_s)))
+    np.testing.assert_allclose(np.asarray(A_f), np.asarray(A_s),
+                               rtol=0, atol=1e-12 * scale)
+    np.testing.assert_allclose(np.asarray(B_f), np.asarray(B_s),
+                               rtol=0, atol=1e-12 * scale)
+
+    topo = p.topo
+    ring = topo.valid & (topo.bdist <= 2 * topo.overlap + 1)
+    R_f = region_neumann(p, ring, method="subtract")
+    R_s = region_neumann(p, ring, method="sum")
+    np.testing.assert_allclose(np.asarray(R_f), np.asarray(R_s),
+                               rtol=0, atol=1e-12 * scale)
+
+
+def test_neumann_subtraction_unequilibrated():
+    pt = default_ptree()
+    pt["gridsize"] = 48
+    pt["overlap"] = 2
+    pt["equilibrate"] = False
+    p = setup_problem(pt, problem=pm.islands(), parts=(4, 4))
+    from ddm_tpu.coarse.geneo import _neumann_fast_ok, neumann_matrices
+
+    assert _neumann_fast_ok(p)
+    A_f, B_f = neumann_matrices(p, method="subtract")
+    A_s, B_s = neumann_matrices(p, method="sum")
+    scale = float(jnp.max(jnp.abs(A_s)))
+    np.testing.assert_allclose(np.asarray(A_f), np.asarray(A_s),
+                               rtol=0, atol=1e-12 * scale)
+    np.testing.assert_allclose(np.asarray(B_f), np.asarray(B_s),
+                               rtol=0, atol=1e-12 * scale)
