@@ -175,7 +175,7 @@ def energy_minimal_extension_sparse(
     return Ub + expand_rows(Z, jnp.asarray(pos))
 
 
-def _pcg_blocks(A, M, B, maxit: int):
+def _pcg_blocks(A, M, B, maxit: int, X0=None):
     """Batched preconditioned CG: solve A X = B for every (subdomain, rhs)
     pair at once.  A, M: (s, f, f) SPD (M = preconditioner, applied
     explicitly); B: (s, f, k).  Returns (X, rel) with rel (s, k) the final
@@ -201,8 +201,11 @@ def _pcg_blocks(A, M, B, maxit: int):
         return jnp.stack(cols, axis=2)
 
     b2 = jnp.sum(B * B, axis=1)  # (s, k)
-    X0 = jnp.zeros_like(B)
-    R0 = B
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+        R0 = B
+    else:
+        R0 = B - mv(A, X0)
     Z0 = mv(M, R0)
     rz0 = jnp.sum(R0 * Z0, axis=1)
 
@@ -237,6 +240,25 @@ def _pcg_blocks_jit(maxit: int):
     return jax.jit(lambda A, M, B: _pcg_blocks(A, M, B, maxit))
 
 
+@functools.lru_cache(maxsize=None)
+def _pcg_blocks_mixed_jit(maxit32: int, maxit64: int):
+    """Two-stage PCG: f32 stage (native MXU matvecs, ~10x the f64-emulated
+    rate) down to its ~eps32·cond true-residual floor, then a warm-started
+    f64 polish.  The polish recomputes R = B - A X0 in f64, so the f32
+    stage can only shorten the f64 work, never bias the answer — callers
+    verify the final residual and fall back regardless."""
+    import jax
+
+    def run(A, M, B):
+        f32 = jnp.float32
+        X32, _ = _pcg_blocks(
+            A.astype(f32), M.astype(f32), B.astype(f32), maxit32
+        )
+        return _pcg_blocks(A, M, B, maxit64, X0=X32.astype(B.dtype))
+
+    return jax.jit(run)
+
+
 def energy_minimal_extension_pcg(
     ell,
     topo,
@@ -245,6 +267,7 @@ def energy_minimal_extension_pcg(
     Minv: jnp.ndarray,
     local_cols: np.ndarray | None = None,
     maxit: int = 60,
+    maxit32: int = 0,
 ):
     """Energy-minimal extension by preconditioned CG, reusing the fine
     Schwarz level's explicit subdomain inverse as the preconditioner —
@@ -265,6 +288,10 @@ def energy_minimal_extension_pcg(
     Returns (U, rel): same contract as the sparse variant, plus the final
     per-(subdomain, vector) relative residuals so callers can verify and
     fall back to the direct factorization if contraction was poor.
+
+    ``maxit32 > 0`` prepends an f32 PCG stage of that many iterations and
+    warm-starts ``maxit`` f64 iterations from its result (see
+    :func:`_pcg_blocks_mixed_jit`); 0 runs pure f64.
     """
     from ..core.indexmaps import extraction_map
 
@@ -303,7 +330,10 @@ def energy_minimal_extension_pcg(
     Mff = jnp.where(keep, Mff, 0.0)
     Mff = Mff + jnp.eye(f_pad, dtype=Mff.dtype)[None] * (~fval_j)[:, :, None]
 
-    Z, rel = _pcg_blocks_jit(int(maxit))(Aff, Mff, R)
+    if maxit32 > 0:
+        Z, rel = _pcg_blocks_mixed_jit(int(maxit32), int(maxit))(Aff, Mff, R)
+    else:
+        Z, rel = _pcg_blocks_jit(int(maxit))(Aff, Mff, R)
     Z = Z.transpose(0, 2, 1) * fval_j[:, None, :]
     return Ub + expand_rows(Z, jnp.asarray(pos)), rel
 

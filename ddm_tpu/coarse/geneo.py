@@ -83,7 +83,9 @@ def neumann_matrices(p, region_b: str = "overlap", method: str = "auto"):
             if region_b != "all":
                 ovlp_mask = topo.bdist <= 2 * topo.overlap
                 B_neu = _masked_subtract(p, A_dir, ovlp_mask, groups, s_sub)
-            A_neu = _masked_subtract(p, A_dir, None, groups, s_sub)
+            A_neu = _masked_subtract(
+                p, A_dir, None, groups, s_sub, donate=True
+            )
             del A_dir
             if region_b == "all":
                 B_neu = A_neu
@@ -141,13 +143,15 @@ def dirichlet_dense(p):
     optionally equilibrated, variables as p.A) + the subdomain Dirichlet
     masks.  Used by the extension/ring/msgfem/svd coarse spaces."""
     from ..core.indexmaps import extraction_map
-    from ..precond.extract import extract_subdomain_dense
+    from ..precond.extract import extract_subdomain_dense, rect_extract_ok
 
     topo = p.topo
-    lc = extraction_map(topo, np.asarray(p.A.colsT).T)
+    rect = getattr(topo, "rect", None)
+    lc = None
+    if not rect_extract_ok(p.A, rect, topo.n_pad):
+        lc = batched(extraction_map(topo, np.asarray(p.A.colsT).T))
     A_dir = extract_subdomain_dense(
-        p.A, batched(topo.sub2glob), batched(topo.valid), batched(lc),
-        rect=getattr(topo, "rect", None),
+        p.A, batched(topo.sub2glob), batched(topo.valid), lc, rect=rect,
     )
     dmask_sub = gather_subdomain(
         p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
@@ -159,37 +163,74 @@ def dirichlet_dense(p):
 def _neumann_fast_ok(p) -> bool:
     """Preconditions of the A_dir-subtraction Neumann assembly (see
     :func:`neumann_matrices`)."""
-    from ..precond.extract import _rect_stencil_meta
+    from ..precond.extract import rect_extract_ok
 
-    rect = getattr(p.topo, "rect", None)
     return (
         getattr(p.disc, "stamps_cover_operator", False)
-        and rect is not None
-        and p.A.offsets is not None
-        and (p.A.fix_rows is None or p.A.fix_rows.shape[0] == 0)
-        and _rect_stencil_meta(rect, p.A.offsets) is not None
+        and rect_extract_ok(p.A, getattr(p.topo, "rect", None), p.topo.n_pad)
     )
 
 
-def _masked_subtract(p, A_dir, mask_np, groups, s_sub):
+def _sub_group_jit():
+    """In-place (donated) subtraction of crossing-stamp blocks from a dense
+    batch: entries touching the dump slot (>= n_pad) zero out and clamp, so
+    no padded canvas copy is needed — one small scatter, no full-size dense
+    passes."""
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(A, Ks, locs):
+        n_pad = A.shape[-1]
+        drop = locs >= n_pad
+        locc = jnp.minimum(locs, n_pad - 1)
+        Ksz = jnp.where(drop[:, :, :, None] | drop[:, :, None, :], 0.0, Ks)
+        s_idx = jnp.arange(A.shape[0])[:, None, None, None]
+        return A.at[s_idx, locc[:, :, :, None], locc[:, :, None, :]].add(-Ksz)
+
+    return run
+
+
+_SUB_GROUP = None
+
+
+def _masked_subtract(p, A_dir, mask_np, groups, s_sub, donate=False):
     """Region Neumann matrix by subtraction: restrict the extracted A_dir to
     the masked dof pairs and subtract the stamps that cross the region
     boundary (1..nl-1 dofs inside) — every element contributing to an
     inside pair is either fully inside (keep) or crossing (subtract).
-    mask_np None means the full subdomain."""
+    mask_np None means the full subdomain.  With donate=True, A_dir's buffer
+    is consumed (the caller must not use it afterwards)."""
     from ..fem.subassembly import crossing_stamp_lists
 
+    global _SUB_GROUP
+    if _SUB_GROUP is None:
+        _SUB_GROUP = _sub_group_jit()
     topo = p.topo
     A = A_dir
     if mask_np is not None:
         bm = batched(np.asarray(mask_np) & topo.valid)
         A = jnp.where(bm[:, :, None] & bm[:, None, :], A_dir, 0.0)
+    elif not donate:
+        A = A_dir + 0.0  # private buffer for the in-place subtraction
     for dofs, K in groups:
         ce, cl = crossing_stamp_lists(dofs, topo, dof_mask=mask_np)
-        corr = neumann_dense(K, batched(ce), batched(cl), topo.n_pad)
-        if s_sub is not None:  # match A_dir's equilibrated variables
-            corr = corr * s_sub[:, :, None] * s_sub[:, None, :]
-        A = A - corr
+        nl = K.shape[-1]
+        Kp = jnp.concatenate([K, jnp.zeros((1, nl, nl), K.dtype)])
+        Ks = Kp[batched(ce)]  # (n_sub, max_e, nl, nl) — small
+        cl_j = batched(cl)
+        if s_sub is not None:  # match A_dir's equilibrated variables,
+            # scaled on the small blocks instead of a full dense pass
+            sp = jnp.concatenate(
+                [s_sub, jnp.zeros((s_sub.shape[0], 1), s_sub.dtype)], axis=1
+            )
+            n_sub, max_e, _ = cl.shape
+            sl = jnp.take_along_axis(
+                sp, cl_j.reshape(n_sub, -1), axis=1
+            ).reshape(n_sub, max_e, nl)
+            Ks = Ks * sl[..., :, None] * sl[..., None, :]
+        A = _SUB_GROUP(A, Ks, cl_j)
     return A
 
 

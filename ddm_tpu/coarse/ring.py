@@ -81,22 +81,35 @@ def _ring_extension(p, ptree, ext_cfg, ext_free, data, fine, local_cols=None):
 
     mode = ext_cfg.get("mode", "auto")
     accept = float(ext_cfg.get("tolerance", 1e-8))
+    precision = ext_cfg.get("precision", "mixed")
     Minv = extension_inverse_of(fine, p, ptree) if mode != "direct" else None
     if Minv is not None:
-        ext, rel = energy_minimal_extension_pcg(
-            p.A, p.topo, ext_free, data, Minv, local_cols=local_cols,
-            # measured (islands 48^2/16, contrast 1e6): 1.95e-6 at 16
-            # iterations, 3e-11 at 24 — 40 leaves margin and the verified
-            # fallback covers pathological pencils
-            maxit=int(ext_cfg.get("maxit", 40)),
-        )
-        worst = float(_np.max(_np.asarray(rel)))
-        if worst <= accept:
-            return ext
-        logger.warn(
-            "ring extension PCG stalled (max rel residual {:.2e} > {:.0e}); "
-            "falling back to the direct factorization", worst, accept,
-        )
+        # mixed (default): an f32 PCG stage (native-MXU matvecs) runs to its
+        # ~1e-5 true-residual floor, then a warm-started f64 polish; the f64
+        # stage recomputes the residual so the f32 stage only saves f64
+        # iterations (measured r3, scratch/ext_mixed_r3.py).  Attempts are
+        # residual-verified: mixed -> full-f64 PCG -> direct factorization.
+        maxit = int(ext_cfg.get("maxit", 40))
+        attempts = [dict(maxit=int(ext_cfg.get("maxit64", 16)),
+                         maxit32=int(ext_cfg.get("maxit32", maxit)))
+                    ] if precision == "mixed" else []
+        attempts.append(dict(maxit=maxit, maxit32=0))
+        for att in attempts:
+            ext, rel = energy_minimal_extension_pcg(
+                p.A, p.topo, ext_free, data, Minv, local_cols=local_cols,
+                # measured (islands 48^2/16, contrast 1e6): 1.95e-6 at 16
+                # iterations, 3e-11 at 24 — 40 leaves margin and the
+                # verified fallback covers pathological pencils
+                **att,
+            )
+            worst = float(_np.max(_np.asarray(rel)))
+            if worst <= accept:
+                return ext
+            logger.warn(
+                "ring extension PCG (maxit={}, maxit32={}) stalled (max rel "
+                "residual {:.2e} > {:.0e}); escalating",
+                att["maxit"], att["maxit32"], worst, accept,
+            )
     return energy_minimal_extension_sparse(
         p.A, p.topo, ext_free, data, local_cols=local_cols,
         solver_type="cholesky" if getattr(p.disc, "definite", True) else "lu",

@@ -91,13 +91,32 @@ class Discretization:
         return jnp.where(self.dirichlet_mask, gv, 0.0)
 
     # -- assembly ----------------------------------------------------------
-    def element_matrices(self, problem: Problem | ElasticityProblem | None = None):
+    def element_matrices(self, problem: Problem | ElasticityProblem | None = None,
+                         elems: np.ndarray | None = None):
         """Batched (Ke, fe); re-run with a modified problem (e.g.
-        ``problem.symmetrized()``) for eigenproblem operators."""
+        ``problem.symmetrized()``) for eigenproblem operators.
+
+        elems: optional element-id subset — assemble only those elements
+        (the Neumann subtraction path needs stamps for the boundary-crossing
+        elements only, ~1/6 of the mesh at bench scale)."""
         p = problem or self.problem
+        # the element matrices of the (linear) discretization's own problem
+        # are immutable — cache them so the Neumann assembly in the GEVP
+        # phase does not redo the global assembly's work (19 MB, ~1 s at
+        # bench scale)
+        cacheable = elems is None and p is self.problem
+        if cacheable and getattr(self, "_Ke_cache", None) is not None:
+            return self._Ke_cache
+        xe = self.xe if elems is None else self.xe[np.asarray(elems)]
         if isinstance(p, ElasticityProblem):
-            return assemble_linear_elasticity(self.quad, self.xe, p.lam, p.mu, p.f)
-        return assemble_convection_diffusion(self.quad, self.xe, p.alpha, p.b, p.c, p.f)
+            out = assemble_linear_elasticity(self.quad, xe, p.lam, p.mu, p.f)
+        else:
+            out = assemble_convection_diffusion(
+                self.quad, xe, p.alpha, p.b, p.c, p.f
+            )
+        if cacheable:
+            self._Ke_cache = out
+        return out
 
     def assemble(self, problem=None) -> tuple[SparseELL, jnp.ndarray]:
         """Unconstrained global (A, b)."""

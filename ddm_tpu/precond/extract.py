@@ -36,6 +36,35 @@ def _rect_stencil_meta(meta, offsets):
     return decomp, _rect_window_masks(decomp, meta)
 
 
+@lru_cache(maxsize=32)
+def _rect_dense_jit(meta, offsets, unit_padding_diag: bool):
+    """One jitted executable for the rect extraction: eagerly it is ~90
+    dispatches (9 rect_gathers x pad/slice/reshape each) at ~2 ms each on
+    the remote backend — jitted it is one call at device speed (0.07 s vs
+    0.33 s for the general path at bench scale)."""
+    import jax
+
+    from ..core.structured import rect_dense_from_stencil
+
+    decomp, wmasks = _rect_stencil_meta(meta, offsets)
+    return jax.jit(lambda valsT, valid: rect_dense_from_stencil(
+        valsT, valid, meta, decomp, wmasks,
+        unit_padding_diag=unit_padding_diag,
+    ))
+
+
+def rect_extract_ok(ell: SparseELL, rect, n_pad: int) -> bool:
+    """True when the scatter-free rect stencil extraction applies (callers
+    may then skip building/uploading the extraction_map entirely)."""
+    return (
+        rect is not None
+        and ell.offsets is not None
+        and rect.n_pad == n_pad
+        and (ell.fix_rows is None or ell.fix_rows.shape[0] == 0)
+        and _rect_stencil_meta(rect, ell.offsets) is not None
+    )
+
+
 def extract_subdomain_dense(
     ell: SparseELL,
     sub2glob: jnp.ndarray,  # (n_sub, n_pad) int32, pad == n_glob
@@ -55,21 +84,9 @@ def extract_subdomain_dense(
     path below pays a ~n_sub*n_pad*m element scatter that runs
     element-at-a-time on TPU (~0.5 s at bench scale, round-3 measurement).
     """
-    if (
-        rect is not None
-        and ell.offsets is not None
-        and rect.n_pad == sub2glob.shape[1]
-        and (ell.fix_rows is None or ell.fix_rows.shape[0] == 0)
-    ):
-        cached = _rect_stencil_meta(rect, ell.offsets)
-        if cached is not None:
-            from ..core.structured import rect_dense_from_stencil
-
-            decomp, wmasks = cached
-            return batched(rect_dense_from_stencil(
-                ell.valsT, valid, rect, decomp, wmasks,
-                unit_padding_diag=unit_padding_diag,
-            ))
+    if rect_extract_ok(ell, rect, sub2glob.shape[1]):
+        fn = _rect_dense_jit(rect, ell.offsets, bool(unit_padding_diag))
+        return batched(fn(ell.valsT, valid))
     if local_cols is None:
         raise ValueError(
             "general extraction path needs local_cols (extraction_map); "

@@ -117,11 +117,17 @@ def _pairs_device(A_sub, V, pi, pj, m_pair, *, n_sub, nev):
     executable (module-level: the eager formulation paid ~50 s of one-op
     compile/dispatch warmup per build on the remote TPU backend; one fused
     executable compiles once and persists in the compile cache)."""
-    # W[i] = A^(i) V_i^T : (n_sub, n_pad, nev), narrow f64 matmul — under
-    # sharded setup this (the expensive step) partitions over the subdomain
-    # axis; the pair-indexed assembly below runs on GSPMD-inferred shardings
-    # (the pair gather moves only W and V, ~MBs)
-    W = jnp.einsum("spq,skq->spk", A_sub, V)
+    # W[i] = A^(i) V_i^T : (n_sub, n_pad, nev) — as per-vector
+    # multiply+reduce, not a narrow dot_general (nev-wide f64 dot_general is
+    # emulation-pathological: 0.105 s vs 0.036 s at (256,608,608), measured
+    # scratch/assembly_probe_r3.py).  Under sharded setup this (the
+    # expensive step) partitions over the subdomain axis; the pair-indexed
+    # assembly below runs on GSPMD-inferred shardings (the pair gather
+    # moves only W and V, ~MBs)
+    W = jnp.stack(
+        [jnp.sum(A_sub * V[:, k, None, :], axis=2) for k in range(nev)],
+        axis=2,
+    )
     # gather v_jl onto i's local numbering: (n_pairs, nev, n_pad)
     Vpad = jnp.concatenate([V, jnp.zeros((n_sub, nev, 1), V.dtype)], axis=2)
     Vj_on_i = Vpad[

@@ -104,14 +104,22 @@ def build_schwarz(
 
     from ..core.mesh import batched
 
-    local_cols = extraction_map(topo, np.asarray(ell.colsT).T)
-    local_cols_j = batched(local_cols)
+    from .extract import rect_extract_ok
+
+    rect = getattr(topo, "rect", None)
+    # the extraction map (host build + 8 MB upload) is only read by the
+    # general extraction path and the f32/dd sparse-refinement modes — skip
+    # it when the scatter-free rect path serves an f64 build
+    local_cols_j = None
+    if precision in ("f32", "dd") or not rect_extract_ok(
+        ell, rect, topo.n_pad
+    ):
+        local_cols_j = batched(extraction_map(topo, np.asarray(ell.colsT).T))
     sub2glob_j = batched(topo.sub2glob)
     valid_j = batched(topo.valid)
     with scoped("Schwarz", "extract"):
         A_sub = extract_subdomain_dense(
-            ell, sub2glob_j, valid_j, local_cols_j,
-            rect=getattr(topo, "rect", None),
+            ell, sub2glob_j, valid_j, local_cols_j, rect=rect,
         )
         if modify:
             # eliminate subdomain-boundary dofs before factorising
