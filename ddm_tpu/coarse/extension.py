@@ -298,33 +298,50 @@ def energy_minimal_extension_pcg(
     f_np = np.asarray(free_mask, bool) & topo.valid
     n_sub, n_pad = f_np.shape
     idx, fval, pos, f_pad = compact_maps(f_np)
-    if local_cols is None:
-        local_cols = extraction_map(topo, np.asarray(ell.colsT).T)
-    lc_f = np.take_along_axis(local_cols, idx[:, :, None], axis=1)
-    rows_g = np.take_along_axis(topo.sub2glob, idx, axis=1)
-    rows_g = np.minimum(rows_g, ell.n - 1)
-
-    vals, _ = ell.rows_dense_gather(jnp.asarray(rows_g))
     fval_j = jnp.asarray(fval)
-    vals = vals * fval_j[:, :, None]
-    k_idx = jnp.arange(n_sub)[:, None, None]
-    r_idx = jnp.arange(f_pad)[None, :, None]
-    rect = jnp.zeros((n_sub, f_pad, n_pad + 1), vals.dtype)
-    rect = rect.at[k_idx, r_idx, jnp.asarray(lc_f)].add(vals)[:, :, :n_pad]
+    idx_j = jnp.asarray(idx)
+    rmeta = getattr(topo, "rect", None)
+    from ..core.mesh import batched
+    from ..precond.extract import extract_subdomain_dense, rect_extract_ok
+
+    if rect_extract_ok(ell, rmeta, n_pad):
+        # scatter-free: dense canvas extraction (0.07 s at bench scale) +
+        # row compaction by take_along_axis (row gathers from a 3-D operand
+        # run at bandwidth) — replaces the (n_sub, f_pad, m) at[].add below,
+        # which executes element-at-a-time on this backend
+        A_dir = extract_subdomain_dense(
+            ell, batched(topo.sub2glob), batched(jnp.asarray(topo.valid)),
+            None, unit_padding_diag=False, rect=rmeta,
+        )
+        rect = jnp.take_along_axis(A_dir, idx_j[:, :, None], axis=1)
+        del A_dir
+        rect = rect * fval_j[:, :, None]
+    else:
+        if local_cols is None:
+            local_cols = extraction_map(topo, np.asarray(ell.colsT).T)
+        lc_f = np.take_along_axis(local_cols, idx[:, :, None], axis=1)
+        rows_g = np.take_along_axis(topo.sub2glob, idx, axis=1)
+        rows_g = np.minimum(rows_g, ell.n - 1)
+
+        vals, _ = ell.rows_dense_gather(jnp.asarray(rows_g))
+        vals = vals * fval_j[:, :, None]
+        k_idx = jnp.arange(n_sub)[:, None, None]
+        r_idx = jnp.arange(f_pad)[None, :, None]
+        rect = jnp.zeros((n_sub, f_pad, n_pad + 1), vals.dtype)
+        rect = rect.at[k_idx, r_idx, jnp.asarray(lc_f)].add(vals)[:, :, :n_pad]
 
     f_j = jnp.asarray(f_np)
     Ub = jnp.where(f_j[:, None, :], 0.0, U_bnd)
     R = -jnp.einsum("sfp,skp->sfk", rect, Ub)  # (n_sub, f_pad, nev)
     R = R * fval_j[:, :, None]
 
-    idx_j = jnp.asarray(idx)
     Aff = jnp.take_along_axis(
         rect.transpose(0, 2, 1), idx_j[:, :, None], axis=1
     ).transpose(0, 2, 1)
     keep = fval_j[:, :, None] & fval_j[:, None, :]
     Aff = jnp.where(keep, Aff, 0.0)
     Aff = Aff + jnp.eye(f_pad, dtype=Aff.dtype)[None] * (~fval_j)[:, :, None]
-    del rect, vals
+    del rect
 
     Mff = compact_mat(Minv, idx_j)
     Mff = jnp.where(keep, Mff, 0.0)
