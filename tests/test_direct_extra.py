@@ -178,3 +178,39 @@ def test_newton_rtol_config_flows_to_factorise(monkeypatch):
     res = solve(p)
     assert seen["rtol"] == pytest.approx(0.02)
     assert res.converged
+
+
+def test_seed_accept_returns_raw_seed(monkeypatch):
+    """DDM_NEWTON_SEED_ACCEPT=1 + rtol above the seed residual must return
+    the raw f32 Cholesky seed (bitwise: no Newton step applied), and the
+    sampled Hutchinson estimate must be within a small factor of the true
+    Frobenius residual (solvers/direct.py:_seed_resid_est)."""
+    rng = np.random.default_rng(11)
+    from ddm_tpu.solvers import direct
+
+    p = 70
+    d = 10.0 ** rng.uniform(-2, 2, p)
+    A = rng.standard_normal((3, p, p))
+    A = A @ np.swapaxes(A, 1, 2) + p * np.eye(p)
+    A = d[None, :, None] * A * d[None, None, :]
+    Aj = jnp.asarray(A)
+
+    seed = direct._newton_seed_jit()(Aj)
+    true_r = np.linalg.norm(
+        np.eye(p) - np.einsum("spq,sqr->spr", A, np.asarray(seed)),
+        axis=(1, 2),
+    ).max()
+    est = float(direct._seed_resid_jit()(Aj, seed))
+    # Hutchinson with 8 probes: correct order of magnitude is all we need
+    assert est == pytest.approx(true_r, rel=0.75) or (
+        est < 1e-5 and true_r < 1e-5
+    )
+
+    monkeypatch.setenv("DDM_NEWTON_SEED_ACCEPT", "1")
+    got = direct.newton_inverse_batched(Aj, rtol=max(10 * est, 1e-4))
+    assert np.array_equal(np.asarray(got.inv), np.asarray(seed))
+
+    # with a tolerance below the seed residual the Newton path must engage
+    if est > 1e-8:
+        got2 = direct.newton_inverse_batched(Aj, rtol=est / 10)
+        assert not np.array_equal(np.asarray(got2.inv), np.asarray(seed))
