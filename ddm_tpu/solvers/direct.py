@@ -652,15 +652,27 @@ def newton_inverse_batched(A: jnp.ndarray, store_dtype=None,
         max_steps = int(os.environ.get("DDM_NEWTON_MAX_STEPS",
                                        NEWTON_MAX_STEPS))
 
-    seed_accept = os.environ.get("DDM_NEWTON_SEED_ACCEPT") == "1"
+    seed_accept = os.environ.get("DDM_NEWTON_SEED_ACCEPT", "1") == "1"
 
     def _chunk(Ac):
         X = _newton_seed_jit()(Ac)
-        if seed_accept:
-            # Probe path (perf experiment): accept the raw f32 seed when a
-            # sampled residual estimate already meets rtol, skipping the
-            # 2-square-matmul Newton step entirely.  The estimate is ~free
-            # (16 fused matvecs vs two square f64 matmuls per chunk).
+        if seed_accept and max_steps > 0:
+            # Accept the raw f32 seed when a sampled residual estimate
+            # already meets rtol, skipping the 2-square-matmul Newton step
+            # entirely.  The estimate is ~free (16 fused matvecs vs two f64
+            # square matmuls per chunk); at preconditioner-grade rtol 4e-1
+            # this cuts the bench factorise phase from one full step to the
+            # seed alone — measured warm setup 7.29 -> 6.10 s at islands
+            # 384^2/256 with BIT-CLASS identical GMRES (15 its, 1.5e-8),
+            # scratch/seed_accept_r3c.py.  The raw seed is multiplicatively
+            # exact (X = A^-1 (I+E), sigma_max(E) <= ||E||_F ~ 0.36), so it
+            # rescales the preconditioned spectrum without perturbing the
+            # small-eigenvalue structure — same argument as the Newton-stop
+            # knob, one step earlier.  A Hutchinson under-estimate can only
+            # admit a slightly rougher preconditioner (rate, not
+            # correctness); exact-grade rtol 1e-6 is never met by the seed,
+            # so the default path is unchanged.  Opt out:
+            # DDM_NEWTON_SEED_ACCEPT=0.
             r0 = float(_seed_resid_jit()(Ac, X))
             if np.isfinite(r0) and r0 < rtol:
                 return X
