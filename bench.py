@@ -84,6 +84,14 @@ def build_problem(gridsize, parts, overlap, nev):
     # subdomain solves); the bench opts in explicitly, like choosing the
     # ring coarse space.  Override via DDM_BENCH_SET=...newton_rtol=1e-6.
     pt["schwarz.subdomain_solver.newton_rtol"] = 4e-1
+    # extension PCG: 4 f64 polish iterations at accept 1e-6 measured
+    # same-iteration-count as the 16/1e-8 library default and ~0.3 s faster
+    # warm (scratch/ext_tol_r3c.py); the residual-verified escalation chain
+    # still covers pathological pencils.  Skipping the f64 polish outright
+    # measured SLOWER (the f32 floor misses 2e-5 on some vectors ->
+    # escalation to the 40-iteration fallback).
+    pt["geneo_ring.extension.maxit64"] = 4
+    pt["geneo_ring.extension.tolerance"] = 1e-6
     # Generic sweep knob: DDM_BENCH_SET="key=val,key=val" applies raw ptree
     # overrides after all of the above (ints/floats auto-parsed) — lets perf
     # sweeps vary any config (e.g. geneo_ring.eigensolver.refine_iters)
