@@ -244,3 +244,39 @@ def test_pairs_coarse_matrix_matches_global():
     scale = float(jnp.abs(E_global).max())
     np.testing.assert_allclose(
         np.asarray(E_pairs), np.asarray(E_global), atol=1e-12 * scale)
+
+
+def test_pairs_shift_path_matches_general_gather():
+    """The rect-canvas shift-grouped pair gather (_pairs_device_shift) must
+    reproduce the general gather formulation exactly: per pair the same
+    values contract in the same order, so the results are bitwise equal."""
+    from ddm_tpu.api import default_ptree, setup_problem
+    from ddm_tpu.coarse.geneo import geneo_coarse_space
+    from ddm_tpu.fem import problems as prob
+    from ddm_tpu.precond.extract import extract_subdomain_dense
+    from ddm_tpu.precond.galerkin import (
+        _pairs_device,
+        _pairs_maps,
+        _pairs_shift_maps,
+        galerkin_coarse_matrix_pairs,
+    )
+
+    pt = default_ptree()
+    pt["gridsize"] = 32
+    pt["geneo.eigensolver.nev"] = 3
+    p = setup_problem(pt, problem=prob.islands(), parts=(4, 4))
+    assert getattr(p.topo, "rect", None) is not None
+    basis = geneo_coarse_space(p, pt)
+    lc = extraction_map(p.topo, np.asarray(p.A.colsT).T)
+    A_sub = extract_subdomain_dense(
+        p.A, jnp.asarray(p.topo.sub2glob), jnp.asarray(p.topo.valid),
+        jnp.asarray(lc))
+    E_shift = galerkin_coarse_matrix_pairs(A_sub, p.topo, basis)
+    # the shift grouping must actually engage (all scalar Q1 rects conform)
+    shifts, sgroups, gen_idx = _pairs_shift_maps(p.topo)
+    assert sum(int(g.shape[0]) for g in sgroups) > 0
+    n_sub, nev, _ = basis.V.shape
+    pi, pj, m_pair = _pairs_maps(p.topo)
+    E_gen = _pairs_device(A_sub, basis.V, pi, pj, m_pair,
+                          n_sub=n_sub, nev=nev)
+    assert np.array_equal(np.asarray(E_shift), np.asarray(E_gen))
