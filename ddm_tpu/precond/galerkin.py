@@ -467,7 +467,38 @@ def build_galerkin(
         E = _mask_inactive(E, basis.active)
         hard_sync(E)
     with scoped("GalerkinPrec", "factor A0"):
-        coarse = factor_batched(E[None], solver_type)
+        # Opt-in f32-seeded Newton-Schulz inverse for the coarse factor
+        # (solvers/direct.py:newton_inverse_batched), mirroring the fine
+        # level's schwarz.subdomain_solver.newton_rtol: the (1, nc, nc)
+        # f64 Cholesky + triangular solve are scalar-emulated recurrences
+        # on TPU while the Newton path is matmul-only.  Same safety
+        # story as the fine knob — Newton error is multiplicative
+        # (X = E^{-1}(I+R)), residual-controlled with an exact-f64
+        # Cholesky fallback — and the coarse apply's iterative refinement
+        # (refine below, stored E) contracts any accepted residual
+        # further.  Off unless coarse_solver.newton_rtol is set.
+        nrtol = sub.get("newton_rtol", None)
+        from ..solvers.direct import resolve_solver_type
+
+        if (nrtol is not None
+                and resolve_solver_type(solver_type) == "cholesky"
+                and jax.default_backend() != "cpu"):
+            from ..solvers.direct import BatchedInverse, newton_inverse_batched
+
+            # symmetric Jacobi equilibration (two cheap rank-1 scalings):
+            # the f32 Cholesky seed carries eps32*cond error, and scaling
+            # removes the coefficient-contrast dynamic range from E the
+            # same way api.setup_problem does for the fine operator
+            dE = jnp.sqrt(jnp.maximum(jnp.diagonal(E), 1e-300))
+            Es = E / (dE[:, None] * dE[None, :])
+            c0 = newton_inverse_batched(Es[None], rtol=float(nrtol))
+            if isinstance(c0, BatchedInverse):
+                inv = c0.inv[0] / (dE[:, None] * dE[None, :])
+                coarse = BatchedInverse(inv=inv[None])
+            else:  # exotic container: fall back to the exact pipeline
+                coarse = factor_batched(E[None], solver_type)
+        else:
+            coarse = factor_batched(E[None], solver_type)
         if sub.get("precision", "f64") == "dd":
             # double-single coarse apply (solvers/direct.py:dd_matvec) — the
             # replicated coarse solve is a dense matvec per apply; dd keeps
