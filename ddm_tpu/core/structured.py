@@ -324,6 +324,45 @@ def rect_dense_from_stencil(
     return A
 
 
+def rect_gather_shard(
+    x: jnp.ndarray, meta: RectMeta, axis: str, n_loc: int
+) -> jnp.ndarray:
+    """Sharded :func:`rect_gather`: inside ``shard_map`` over ``axis`` with
+    the subdomain batch split in contiguous slabs, run the full-canvas
+    layout transform (bandwidth-class — the canvas is only
+    ``n_sub * n_pad`` elements, ~2 MB at bench scale) on the replicated
+    global vector and slice this device's ``n_loc``-row slab.
+
+    This keeps the rect fast path under multi-chip execution: the per-device
+    cost is one canvas transform + one slice, flat in the device count —
+    the property the reference's per-rank halo exchange has
+    (dune/ddm/schwarz.hh:122-146)."""
+    import jax
+
+    X = rect_gather(x, meta)
+    shard = jax.lax.axis_index(axis)
+    return jax.lax.dynamic_slice_in_dim(X, shard * n_loc, n_loc, axis=0)
+
+
+def rect_scatter_add_shard(
+    x_loc: jnp.ndarray, meta: RectMeta, axis: str
+) -> jnp.ndarray:
+    """Sharded :func:`rect_scatter_add`: embed the device-local slab into a
+    zero full batch (one dynamic_update_slice), run the full-canvas layout
+    scatter, and ``psum`` the per-device partial sums over ICI.  Exactly the
+    contributions of the unsharded path (zeros elsewhere add nothing);
+    only the float summation ORDER differs across devices."""
+    import jax
+
+    n_sub = meta.n_pr * meta.n_pc
+    full = jnp.zeros((n_sub,) + x_loc.shape[1:], x_loc.dtype)
+    shard = jax.lax.axis_index(axis)
+    full = jax.lax.dynamic_update_slice_in_dim(
+        full, x_loc, shard * x_loc.shape[0], axis=0
+    )
+    return jax.lax.psum(rect_scatter_add(full, meta), axis)
+
+
 def rect_scatter_add(x_sub: jnp.ndarray, meta: RectMeta) -> jnp.ndarray:
     """(n_sub, n_pad) canvas-layout -> global (n,) by summation — the exact
     adjoint of :func:`rect_gather` (out-of-domain canvas slots are dropped,

@@ -116,6 +116,27 @@ def gather_subdomain(x: jnp.ndarray, sub2glob: jnp.ndarray) -> jnp.ndarray:
     return xp[sub2glob]
 
 
+def scatter_add_subdomain_shard(
+    x_loc: jnp.ndarray, dualT: jnp.ndarray, axis: str, n_sub_full: int
+) -> jnp.ndarray:
+    """Sharded gather-dual scatter-add: embed the device-local subdomain
+    slab into the full flat batch (one dynamic_update_slice into zeros), run
+    the same (K, n) gather-dual as the unsharded path, and ``psum`` the
+    partial sums.  Keeps the measured ~4x gather-dual advantage over
+    ``.at[].add`` (which runs element-at-a-time on this backend) under
+    multi-chip execution."""
+    import jax
+
+    trail = x_loc.shape[2:]
+    n_loc, n_pad = x_loc.shape[:2]
+    flat = jnp.zeros((n_sub_full * n_pad + 1,) + trail, x_loc.dtype)
+    shard = jax.lax.axis_index(axis)
+    flat = jax.lax.dynamic_update_slice_in_dim(
+        flat, x_loc.reshape((-1,) + trail), shard * (n_loc * n_pad), axis=0
+    )
+    return jax.lax.psum(flat[dualT].sum(axis=0), axis)
+
+
 def scatter_add_subdomain(
     x_sub: jnp.ndarray, sub2glob: jnp.ndarray, n_glob: int,
     dualT: jnp.ndarray | None = None,

@@ -351,11 +351,14 @@ class GalerkinPreconditioner:
     active: jnp.ndarray  # (n_sub, nev_max)
     coarse: object  # factorization with .solve((1, n_c) or (1, n_c, k))
     axis: str | None = field(default=None, metadata=dict(static=True))
-    # (K, n) gather-dual of the scatter (unsharded path only)
+    # (K, n) gather-dual of the scatter; the sharded apply embeds its local
+    # slab into a zero full batch first (extract.py:scatter_add_subdomain_shard)
     dualT: jnp.ndarray | None = None
     # structured-rect canvas layout (core/structured.py): bandwidth
-    # gather/scatter, unsharded apply only
+    # gather/scatter; kept under shard_map via the *_shard variants
     rect: object | None = field(default=None, metadata=dict(static=True))
+    # full subdomain count (see SchwarzPreconditioner.n_sub_full)
+    n_sub_full: int = field(default=0, metadata=dict(static=True))
     # coarse matrix kept for iterative refinement of the coarse solve:
     # ring-type coarse bases can make E near-singular (measured cond ~6.5e9
     # at islands 384^2/256), where this backend's double-single f64 direct
@@ -374,13 +377,21 @@ class GalerkinPreconditioner:
         return y
 
     def apply(self, d: jnp.ndarray) -> jnp.ndarray:
-        from ..core.structured import rect_gather, rect_scatter_add
+        from ..core.structured import (
+            rect_gather,
+            rect_gather_shard,
+            rect_scatter_add,
+            rect_scatter_add_shard,
+        )
+        from .extract import scatter_add_subdomain_shard
 
         n = d.shape[0]
         n_sub, nev, _ = self.V.shape
-        fast = self.rect is not None and self.axis is None
-        if fast:
-            d_sub = rect_gather(d, self.rect)
+        if self.rect is not None:
+            if self.axis is None:
+                d_sub = rect_gather(d, self.rect)
+            else:
+                d_sub = rect_gather_shard(d, self.rect, self.axis, n_sub)
         else:
             d_sub = gather_subdomain(d, self.sub2glob)
         # restriction: single-defect contraction as multiply+reduce (bmv) —
@@ -398,13 +409,19 @@ class GalerkinPreconditioner:
         else:
             beta = self._coarse_solve(alpha.reshape(-1)).reshape(n_sub, nev)
         x_sub = (self.V * beta[:, :, None]).sum(axis=1)  # prolongation
-        if fast:
-            return rect_scatter_add(x_sub, self.rect)
-        dualT = self.dualT if self.axis is None else None
-        x = scatter_add_subdomain(x_sub, self.sub2glob, n, dualT=dualT)
+        if self.rect is not None:
+            if self.axis is None:
+                return rect_scatter_add(x_sub, self.rect)
+            return rect_scatter_add_shard(x_sub, self.rect, self.axis)
         if self.axis is not None:
-            x = jax.lax.psum(x, self.axis)
-        return x
+            if self.dualT is not None and self.n_sub_full:
+                return scatter_add_subdomain_shard(
+                    x_sub, self.dualT, self.axis, self.n_sub_full
+                )
+            return jax.lax.psum(
+                scatter_add_subdomain(x_sub, self.sub2glob, n), self.axis
+            )
+        return scatter_add_subdomain(x_sub, self.sub2glob, n, dualT=self.dualT)
 
 
 def build_galerkin(
@@ -521,4 +538,5 @@ def build_galerkin(
         dualT=jnp.asarray(dual_scatter_map(topo)),
         rect=getattr(topo, "rect", None),
         E_mat=E if refine > 0 else None, refine=refine,
+        n_sub_full=topo.n_sub,
     )

@@ -30,7 +30,12 @@ from ..config import ParamTree
 from ..core.indexmaps import DDMTopology, extraction_map
 from ..core.sparse import SparseELL
 from ..solvers.direct import chunked_batch, factor_batched_jit
-from .extract import extract_subdomain_dense, gather_subdomain, scatter_add_subdomain
+from .extract import (
+    extract_subdomain_dense,
+    gather_subdomain,
+    scatter_add_subdomain,
+    scatter_add_subdomain_shard,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -45,30 +50,52 @@ class SchwarzPreconditioner:
     # names the mesh axis to psum over (the ICI halo reduction of SURVEY §5.8)
     axis: str | None = field(default=None, metadata=dict(static=True))
     # (K, n) gather-dual of the scatter (indexmaps.dual_scatter_map); its flat
-    # indices address the FULL subdomain batch, so it only applies unsharded
+    # indices address the FULL subdomain batch — the sharded apply embeds its
+    # local slab into a zero full batch first (extract.py:
+    # scatter_add_subdomain_shard)
     dualT: jnp.ndarray | None = None
     # structured-rect canvas layout (core/structured.py): bandwidth
-    # gather/scatter, unsharded apply only (the perm spans the full batch)
+    # gather/scatter; under shard_map the full-canvas transforms run
+    # replicated (they are only ~n_sub*n_pad elements) and each device
+    # slices/contributes its slab (structured.py:rect_*_shard)
     rect: object | None = field(default=None, metadata=dict(static=True))
+    # full subdomain count (== sub2glob.shape[0] outside shard_map; inside,
+    # the leaves are device-local slabs and this keeps the global batch size)
+    n_sub_full: int = field(default=0, metadata=dict(static=True))
 
     def apply(self, d: jnp.ndarray) -> jnp.ndarray:
-        from ..core.structured import rect_gather, rect_scatter_add
+        from ..core.structured import (
+            rect_gather,
+            rect_gather_shard,
+            rect_scatter_add,
+            rect_scatter_add_shard,
+        )
 
         n = d.shape[0]
-        fast = self.rect is not None and self.axis is None
-        if fast:
-            d_sub = rect_gather(d, self.rect)
+        if self.rect is not None:
+            if self.axis is None:
+                d_sub = rect_gather(d, self.rect)
+            else:
+                d_sub = rect_gather_shard(
+                    d, self.rect, self.axis, self.pou.shape[0]
+                )
         else:
             d_sub = gather_subdomain(d, self.sub2glob)
         x_sub = self.factors.solve(d_sub)
         x_sub = jnp.where(self.valid, x_sub * self.pou, 0.0)
-        if fast:
-            return rect_scatter_add(x_sub, self.rect)
-        dualT = self.dualT if self.axis is None else None
-        x = scatter_add_subdomain(x_sub, self.sub2glob, n, dualT=dualT)
+        if self.rect is not None:
+            if self.axis is None:
+                return rect_scatter_add(x_sub, self.rect)
+            return rect_scatter_add_shard(x_sub, self.rect, self.axis)
         if self.axis is not None:
-            x = jax.lax.psum(x, self.axis)
-        return x
+            if self.dualT is not None and self.n_sub_full:
+                return scatter_add_subdomain_shard(
+                    x_sub, self.dualT, self.axis, self.n_sub_full
+                )
+            return jax.lax.psum(
+                scatter_add_subdomain(x_sub, self.sub2glob, n), self.axis
+            )
+        return scatter_add_subdomain(x_sub, self.sub2glob, n, dualT=self.dualT)
 
 
 def build_schwarz(
@@ -223,4 +250,5 @@ def build_schwarz(
         factors=factors,
         dualT=jnp.asarray(dual_scatter_map(topo)),
         rect=getattr(topo, "rect", None),
+        n_sub_full=topo.n_sub,
     )
