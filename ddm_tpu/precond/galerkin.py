@@ -497,23 +497,45 @@ def build_galerkin(
         nrtol = sub.get("newton_rtol", None)
         from ..solvers.direct import resolve_solver_type
 
-        if (nrtol is not None
-                and resolve_solver_type(solver_type) == "cholesky"
-                and jax.default_backend() != "cpu"):
+        # mirrors the fine level's construction gate
+        # (precond/schwarz.py): default 'direct' on the CPU backend
+        # (where the dense factors are native-fast), 'newton' on TPU;
+        # a CPU test can force the branch with
+        # coarse_solver.construction = newton
+        construction = sub.get(
+            "construction",
+            "direct" if jax.default_backend() == "cpu" else "newton",
+        )
+        use_newton = (nrtol is not None
+                      and resolve_solver_type(solver_type) == "cholesky"
+                      and construction == "newton")
+        if use_newton:
+            # a cholesky-declared coarse matrix must have a strictly
+            # positive finite diagonal; clamping instead (the previous
+            # jnp.maximum(diag, 1e-300)) would turn an indefinite/overflowed
+            # E into ~1e150 scale factors and poison even the exact-f64
+            # fallback inside newton_inverse_batched
+            diag_h = np.asarray(jnp.diagonal(E))
+            if not (np.isfinite(diag_h).all() and (diag_h > 0).all()):
+                use_newton = False
+        if use_newton:
             from ..solvers.direct import BatchedInverse, newton_inverse_batched
 
             # symmetric Jacobi equilibration (two cheap rank-1 scalings):
             # the f32 Cholesky seed carries eps32*cond error, and scaling
             # removes the coefficient-contrast dynamic range from E the
             # same way api.setup_problem does for the fine operator
-            dE = jnp.sqrt(jnp.maximum(jnp.diagonal(E), 1e-300))
+            dE = jnp.sqrt(jnp.diagonal(E))
             Es = E / (dE[:, None] * dE[None, :])
             c0 = newton_inverse_batched(Es[None], rtol=float(nrtol))
-            if isinstance(c0, BatchedInverse):
-                inv = c0.inv[0] / (dE[:, None] * dE[None, :])
-                coarse = BatchedInverse(inv=inv[None])
-            else:  # exotic container: fall back to the exact pipeline
-                coarse = factor_batched(E[None], solver_type)
+            # store_dtype=None always packs a BatchedInverse
+            assert isinstance(c0, BatchedInverse), type(c0)
+            inv = c0.inv[0] / (dE[:, None] * dE[None, :])
+            # the exact cholesky path forms L^{-T}L^{-1}, exactly symmetric
+            # for CG; the Newton iterate is symmetric only to roundoff —
+            # symmetrize once at setup (negligible at (nc, nc))
+            inv = 0.5 * (inv + inv.T)
+            coarse = BatchedInverse(inv=inv[None])
         else:
             coarse = factor_batched(E[None], solver_type)
         if sub.get("precision", "f64") == "dd":

@@ -280,3 +280,95 @@ def test_pairs_shift_path_matches_general_gather():
     E_gen = _pairs_device(A_sub, basis.V, pi, pj, m_pair,
                           n_sub=n_sub, nev=nev)
     assert np.array_equal(np.asarray(E_shift), np.asarray(E_gen))
+
+
+def test_coarse_newton_rtol_flows_and_matches_direct(monkeypatch):
+    """coarse_solver.newton_rtol + construction=newton must reach
+    newton_inverse_batched for the coarse factor (precond/galerkin.py), and
+    the resulting two-level solve must match the direct-factorization coarse
+    path (Newton error is multiplicative; the coarse apply additionally
+    iteratively refines against the stored E)."""
+    import ddm_tpu.solvers.direct as direct
+    from ddm_tpu.api import default_ptree, setup_problem, solve
+
+    def make_pt():
+        pt = default_ptree()
+        pt["gridsize"] = 32
+        pt["coarsespace.type"] = "geneo"
+        pt["coarse_solver.type"] = "cholesky"
+        pt["geneo.eigensolver.nev"] = 3
+        pt["solver.reduction"] = 1e-8
+        return pt
+
+    p = setup_problem(make_pt(), problem=prob.islands(), parts=(2, 2))
+    res_direct = solve(p)
+
+    seen = {}
+    orig = direct.newton_inverse_batched
+
+    def spy(A, store_dtype=None, rtol=None, max_steps=None):
+        seen["rtol"] = rtol
+        seen["shape"] = tuple(A.shape)
+        return orig(A, store_dtype=store_dtype, rtol=rtol,
+                    max_steps=max_steps)
+
+    monkeypatch.setattr(direct, "newton_inverse_batched", spy)
+    pt = make_pt()
+    pt["coarse_solver.construction"] = "newton"
+    pt["coarse_solver.newton_rtol"] = 1e-6
+    p2 = setup_problem(pt, problem=prob.islands(), parts=(2, 2))
+    res_newton = solve(p2)
+    assert seen["rtol"] == pytest.approx(1e-6)
+    assert seen["shape"][0] == 1  # the (1, nc, nc) coarse batch
+    assert bool(res_newton.converged)
+    # exact-grade rtol -> same preconditioner quality as the direct factor
+    assert abs(int(res_newton.iterations) - int(res_direct.iterations)) <= 1
+
+    # the Newton-built coarse inverse must be exactly symmetric (CG safety)
+    from ddm_tpu.api import build_preconditioner
+    from ddm_tpu.solvers.direct import BatchedInverse
+
+    prec = build_preconditioner(p2)
+    coarse = prec.precs[1].coarse
+    assert isinstance(coarse, BatchedInverse)
+    inv = np.asarray(coarse.inv[0])
+    assert np.array_equal(inv, inv.T)
+
+
+def test_coarse_newton_skips_indefinite_diag():
+    """A cholesky-declared coarse path with a non-positive diagonal must NOT
+    go through the scaled Newton seed (which would produce ~1e150 scale
+    factors); it falls back to the exact pipeline (ADVICE r3)."""
+    from ddm_tpu.precond.galerkin import build_galerkin
+    from ddm_tpu.coarse.basis import CoarseBasis
+
+    # drive build_galerkin with a basis whose Galerkin product has a zero
+    # diagonal entry (zero vector on an active slot) — the scaled-seed
+    # precondition (strictly positive diagonal) fails
+    topo = fixture_topology(overlap=1)
+    _, ell = fixture_ell()
+    nev = 1
+    V = np.zeros((topo.n_sub, nev, topo.n_pad))
+    # all-zero active basis vector -> E diagonal entry 0
+    basis = CoarseBasis(
+        V=jnp.asarray(V),
+        active=jnp.ones((topo.n_sub, nev), bool),
+    )
+    pt = ParamTree({"coarse_solver": {
+        "type": "cholesky", "construction": "newton", "newton_rtol": 1e-6,
+    }})
+    import ddm_tpu.solvers.direct as direct
+
+    called = {"newton": False}
+    orig = direct.newton_inverse_batched
+
+    def spy(*a, **k):
+        called["newton"] = True
+        return orig(*a, **k)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(direct, "newton_inverse_batched", spy):
+        prec = build_galerkin(ell, topo, basis, pt, method="global")
+    assert called["newton"] is False
+    assert prec is not None
