@@ -109,7 +109,7 @@ def build_problem(gridsize, parts, overlap, nev):
     return setup_problem(pt, problem=pm.islands(), parts=(parts, parts))
 
 
-def run_tpu(p, nev):
+def run_tpu(p, nev, attempts=2, tag=""):
     import jax
     import jax.numpy as jnp
 
@@ -117,8 +117,9 @@ def run_tpu(p, nev):
     from ddm_tpu.solvers.krylov import gmres_solve, operator_of, prec_of
 
     timings = {}
+    all_timings = []
     prec = res = None
-    for attempt in range(2):
+    for attempt in range(attempts):
         # free the previous attempt's preconditioner BEFORE rebuilding: at
         # bench scale the old explicit inverses (~1.5 GB) pushed the second
         # build of memory-heavier coarse spaces (geneo_ring) over the HBM
@@ -150,10 +151,12 @@ def run_tpu(p, nev):
             "iters": int(res.iterations), "converged": bool(res.converged),
             "true_rel_res": true_res,
         }
-        log(f"tpu attempt {attempt}: {timings}")
+        all_timings.append(timings)
+        log(f"tpu{tag} attempt {attempt}: {timings}")
     from ddm_tpu.obs.logger import Logger
 
     log(Logger.get().report())
+    timings["cold"] = all_timings[0]
     return timings
 
 
@@ -428,10 +431,32 @@ def main():
 
     t0 = time.perf_counter()
     p = build_problem(gridsize, parts, overlap, nev)
-    log(f"host setup: {time.perf_counter()-t0:.3f}s; n={p.disc.n_dofs} "
+    host_setup_s = time.perf_counter() - t0
+    log(f"host setup: {host_setup_s:.3f}s; n={p.disc.n_dofs} "
         f"n_sub={p.topo.n_sub} n_pad={p.topo.n_pad}")
 
     tpu = run_tpu(p, nev)
+
+    # like-for-like algorithm comparison (VERDICT r3 item 5): when the
+    # headline coarse space differs from the CPU baseline's full-GenEO
+    # algorithm, ALSO time a geneo preconditioner on the SAME problem so the
+    # JSON artifact carries both ratios (reference-default-vs-our-best AND
+    # algorithm-for-algorithm)
+    tpu_geneo = None
+    cs = os.environ.get("DDM_BENCH_COARSE", "geneo_ring")
+    if cs != "geneo" and os.environ.get("DDM_BENCH_LIKE4LIKE", "1") != "0":
+        import copy
+        import dataclasses
+        import gc
+
+        gc.collect()
+        pt2 = copy.deepcopy(p.ptree)
+        pt2["coarsespace.type"] = "geneo"
+        pt2["geneo.eigensolver.nev"] = nev
+        p2 = dataclasses.replace(p, ptree=pt2)
+        tpu_geneo = run_tpu(p2, nev, tag=" geneo")
+        del p2
+        gc.collect()
     cpu_totals = {}
     parallel_note = None
     if (os.cpu_count() or 1) > 1:
@@ -455,13 +480,28 @@ def main():
     # cores, else the plain sequential run (a 1-worker "parallel" baseline
     # only measures IPC overhead and would inflate the ratio).
     best_cpu = min(t for t, _ in cpu_totals.values())
+    cold = tpu.get("cold", tpu)
     out = {
         "metric": f"poisson_islands_geneo_ras_{gridsize}x{gridsize}_"
                   f"{parts * parts}sub_setup_solve",
         "value": round(tpu_total, 4),
         "unit": "s",
         "vs_baseline": round(best_cpu / tpu_total, 3),
+        # honesty: the warm headline excludes one-time costs the reference
+        # does not have — report them in the same artifact.  cold_total_s is
+        # the full first-run wall-clock (host-side problem build incl. any
+        # cold remote compiles + first preconditioner build + first solve).
+        "host_setup_s": round(host_setup_s, 2),
+        "cold_total_s": round(
+            host_setup_s + cold["setup"] + cold["solve"], 2),
+        "cpu_sequential_s": round(cpu_totals["sequential"][0], 2),
     }
+    if tpu_geneo is not None:
+        # like-for-like: both sides run the full-GenEO algorithm
+        g_total = tpu_geneo["setup"] + tpu_geneo["solve"]
+        out["tpu_geneo_s"] = round(g_total, 4)
+        out["vs_baseline_geneo"] = round(best_cpu / g_total, 3)
+        out["iters_geneo"] = tpu_geneo["iters"]
     if parallel_note:
         out["cpu_parallel_baseline"] = parallel_note
     print(json.dumps(out))

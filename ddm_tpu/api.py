@@ -89,25 +89,37 @@ def setup_problem(
     parts: tuple[int, ...] | None = None,
     n_comp: int = 1,
 ) -> DDMProblem:
+    from .obs.logger import hard_sync, scoped
+
     ptree = ptree or default_ptree()
     problem = problem or problems_mod.PROBLEMS[ptree.get("problem", "simple")]()
-    grid = grid if grid is not None else make_grid(ptree)
+    with scoped("Setup", "grid (host)"):
+        grid = grid if grid is not None else make_grid(ptree)
     overlap = ptree.get("overlap", 2)
-    disc = Discretization(grid, problem, n_comp=n_comp)
-    A, rhs, g = disc.constrained_system()
+    with scoped("Setup", "discretize (host pattern)"):
+        disc = Discretization(grid, problem, n_comp=n_comp)
+    with scoped("Setup", "assemble + constrain"):
+        A, rhs, g = disc.constrained_system()
+        hard_sync((A.valsT, rhs, g))
     scale = None
     if ptree.get("equilibrate", True):
         from .core.sparse import jacobi_equilibrate
 
-        A, rhs, scale = jacobi_equilibrate(A, rhs)
+        with scoped("Setup", "equilibrate"):
+            A, rhs, scale = jacobi_equilibrate(A, rhs)
+            hard_sync((A.valsT, rhs))
     if parts is None and n_sub is None:
         n_sub = ptree.get("subdomains", 4)
-    topo, elem_part = setup_topology(disc, overlap=overlap, n_sub=n_sub, parts=parts)
-    pou = pou_weights(
-        topo,
-        ptree.sub("pou").get("type", "distance"),
-        shrink=ptree.sub("pou").get("shrink", 0),
-    )
+    with scoped("Setup", "topology (host)"):
+        topo, elem_part = setup_topology(
+            disc, overlap=overlap, n_sub=n_sub, parts=parts
+        )
+    with scoped("Setup", "pou (host)"):
+        pou = pou_weights(
+            topo,
+            ptree.sub("pou").get("type", "distance"),
+            shrink=ptree.sub("pou").get("shrink", 0),
+        )
     return DDMProblem(
         disc=disc, topo=topo, A=A, rhs=rhs, g=g, pou=pou, ptree=ptree,
         elem_part=elem_part, scale=scale,

@@ -106,12 +106,44 @@ class DDMTopology:
     bdist: np.ndarray  # (n_sub, n_pad) int32 — graph distance from boundary
     bdist_cap: int
     dof_owner: np.ndarray  # (n_glob,) int32 owning subdomain per dof
-    glob2loc: np.ndarray  # (n_sub, n_glob + 1) int32, -1 if absent
+    # global->local map in sorted-key CSR form: g2l_keys holds
+    # k * (n_glob + 1) + glob_id for every member dof, globally sorted;
+    # g2l_locs the matching local slot.  A dense (n_sub, n_glob + 1) array
+    # (the round-1..3 layout) is O(n_sub * n) — 152 MB at the 384^2/256
+    # bench and ~61 GB at the 7.5M-dof/2048-subdomain HBM ceiling, with
+    # O(n_pairs * n) transient blowups in the pairs map; the CSR form is
+    # O(sum sizes) (~2.6 MB / ~130 MB at those scales) and lookups are one
+    # vectorized searchsorted.
+    g2l_keys: np.ndarray  # (nnz,) int64, sorted
+    g2l_locs: np.ndarray  # (nnz,) int32
     membership: sps.csr_matrix  # (n_sub, n_glob) bool
     sizes: np.ndarray  # (n_sub,) true subdomain sizes
 
+    def lookup(self, sub_idx, glob_ids) -> np.ndarray:
+        """Vectorized global->local: local slot of dof ``glob_ids`` in
+        subdomain ``sub_idx`` (broadcast together), -1 where absent.
+        ``glob_ids`` may include the padding id ``n_glob``."""
+        k = np.asarray(sub_idx, dtype=np.int64)
+        g = np.asarray(glob_ids, dtype=np.int64)
+        key = k * (self.n_glob + 1) + g
+        pos = np.searchsorted(self.g2l_keys, key)
+        pos = np.minimum(pos, max(self.g2l_keys.size - 1, 0))
+        hit = self.g2l_keys[pos] == key
+        return np.where(hit, self.g2l_locs[pos], -1).astype(np.int32)
+
     def local_of(self, k: int, glob_ids: np.ndarray) -> np.ndarray:
-        return self.glob2loc[k, glob_ids]
+        return self.lookup(k, glob_ids)
+
+    @property
+    def glob2loc(self) -> np.ndarray:
+        """Dense (n_sub, n_glob + 1) materialization of the global->local
+        map (-1 where absent).  O(n_sub * n) memory — test/debug use only;
+        library code goes through :meth:`lookup`."""
+        out = np.full((self.n_sub, self.n_glob + 1), -1, dtype=np.int32)
+        k = self.g2l_keys // (self.n_glob + 1)
+        g = self.g2l_keys % (self.n_glob + 1)
+        out[k, g] = self.g2l_locs
+        return out
 
 
 def dof_membership_from_elems(
@@ -261,18 +293,23 @@ def _pack_topology(per_sub, dof_owner, n, n_sub, overlap, cap, pad_to):
     owner = np.zeros((n_sub, n_pad), dtype=bool)
     boundary = np.zeros((n_sub, n_pad), dtype=bool)
     bdist = np.full((n_sub, n_pad), cap, dtype=np.int32)
-    glob2loc = np.full((n_sub, n + 1), -1, dtype=np.int32)
+    keys, locs = [], []
     mrows, mcols = [], []
     for k, (ids, bnd, d) in enumerate(per_sub):
         sz = ids.size
         sub2glob[k, :sz] = ids
         valid[k, :sz] = True
         owner[k, :sz] = dof_owner[ids] == k
-        glob2loc[k, ids] = np.arange(sz, dtype=np.int32)
+        keys.append(k * np.int64(n + 1) + ids.astype(np.int64))
+        locs.append(np.arange(sz, dtype=np.int32))
         boundary[k, :sz] = bnd
         bdist[k, :sz] = np.minimum(d, cap)
         mrows.append(np.full(sz, k))
         mcols.append(ids)
+    keys = np.concatenate(keys) if keys else np.zeros(0, np.int64)
+    locs = np.concatenate(locs) if locs else np.zeros(0, np.int32)
+    order = np.argsort(keys)
+    keys, locs = keys[order], locs[order]
     membership = sps.csr_matrix(
         (np.ones(int(sizes.sum()), dtype=bool),
          (np.concatenate(mrows), np.concatenate(mcols))),
@@ -290,7 +327,8 @@ def _pack_topology(per_sub, dof_owner, n, n_sub, overlap, cap, pad_to):
         bdist=bdist,
         bdist_cap=cap,
         dof_owner=dof_owner,
-        glob2loc=glob2loc,
+        g2l_keys=keys,
+        g2l_locs=locs,
         membership=membership,
         sizes=sizes,
     )
@@ -416,8 +454,8 @@ def extraction_map(topo: DDMTopology, ell_cols: np.ndarray) -> np.ndarray:
     rows = np.minimum(topo.sub2glob, n - 1)  # clip padding for the gather
     cols_g = ell_cols[rows]  # (n_sub, n_pad, m) global col ids (pad == n)
     cols_clip = np.minimum(cols_g, n)
-    loc = np.take_along_axis(
-        topo.glob2loc, cols_clip.reshape(topo.n_sub, -1), axis=1
-    ).reshape(cols_g.shape)
+    loc = topo.lookup(
+        np.arange(topo.n_sub)[:, None, None], cols_clip
+    )
     loc = np.where((loc < 0) | ~topo.valid[:, :, None], n_pad, loc)
     return loc.astype(np.int32)

@@ -194,7 +194,7 @@ def relayout_rect(topo, meta: RectMeta):
     owner = np.zeros((n_sub, n_pad), dtype=bool)
     boundary = np.zeros((n_sub, n_pad), dtype=bool)
     bdist = np.full((n_sub, n_pad), topo.bdist_cap, dtype=np.int32)
-    glob2loc = np.full((n_sub, n + 1), -1, dtype=np.int32)
+    keys, locs = [], []
     for k in range(n_sub):
         v = topo.valid[k]
         s = slots[k]
@@ -204,12 +204,17 @@ def relayout_rect(topo, meta: RectMeta):
         owner[k, s] = topo.owner[k][v]
         boundary[k, s] = topo.boundary[k][v]
         bdist[k, s] = topo.bdist[k][v]
-        glob2loc[k, ids] = s
+        keys.append(k * np.int64(n + 1) + ids.astype(np.int64))
+        locs.append(s.astype(np.int32))
+    keys = np.concatenate(keys)
+    locs = np.concatenate(locs)
+    order = np.argsort(keys)
     new = DDMTopology(
         n_glob=n, n_sub=n_sub, n_pad=n_pad, overlap=topo.overlap,
         sub2glob=sub2glob, valid=valid, owner=owner, boundary=boundary,
         bdist=bdist, bdist_cap=topo.bdist_cap, dof_owner=topo.dof_owner,
-        glob2loc=glob2loc, membership=topo.membership, sizes=topo.sizes,
+        g2l_keys=keys[order], g2l_locs=locs[order],
+        membership=topo.membership, sizes=topo.sizes,
     )
     object.__setattr__(new, "rect", meta)
     return new

@@ -162,7 +162,7 @@ def _pairs_maps(topo):
     pj = inter.col.astype(np.int32)
     # j-local index of subdomain i's p-th dof (n_pairs, n_pad), n_pad = absent
     rows = np.minimum(topo.sub2glob[pi], topo.n_glob)  # (n_pairs, n_pad)
-    m_pair = np.take_along_axis(topo.glob2loc[pj], rows, axis=1)
+    m_pair = topo.lookup(pj[:, None], rows)
     m_pair = np.where((m_pair < 0) | ~topo.valid[pi], topo.n_pad, m_pair)
     maps = (jnp.asarray(pi), jnp.asarray(pj),
             jnp.asarray(m_pair.astype(np.int32)))
