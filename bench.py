@@ -36,9 +36,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_problem(gridsize, parts, overlap, nev):
+def build_problem(gridsize, parts, overlap, nev, dim=2):
     from ddm_tpu.api import default_ptree, setup_problem
     from ddm_tpu.fem import problems as pm
+    from ddm_tpu.fem.grids import structured_grid
 
     pt = default_ptree()
     pt["gridsize"] = gridsize
@@ -106,7 +107,13 @@ def build_problem(gridsize, parts, overlap, nev):
                 continue
         log(f"override: {k} = {v!r}")
         pt[k.strip()] = v
-    return setup_problem(pt, problem=pm.islands(), parts=(parts, parts))
+    # DDM_BENCH_DIM=3 runs the 3-D hex analogue of BASELINE config 2
+    # (3-D GenEO-RAS, reference poisson.ini): same islands coefficient
+    # (x,y-dependent, z-extruded), 27-point stencil ELL, general
+    # (non-canvas) extraction/scatter paths
+    grid = structured_grid((gridsize,) * dim)
+    return setup_problem(pt, problem=pm.islands(), grid=grid,
+                         parts=(parts,) * dim)
 
 
 def run_tpu(p, nev, attempts=2, tag=""):
@@ -424,13 +431,15 @@ def run_cpu_baseline(p, nev):
 
 
 def main():
-    gridsize = int(os.environ.get("DDM_BENCH_GRIDSIZE", "384"))
-    parts = int(os.environ.get("DDM_BENCH_PARTS", "16"))
+    dim = int(os.environ.get("DDM_BENCH_DIM", "2"))
+    gridsize = int(os.environ.get("DDM_BENCH_GRIDSIZE",
+                                  "384" if dim == 2 else "54"))
+    parts = int(os.environ.get("DDM_BENCH_PARTS", "16" if dim == 2 else "4"))
     overlap = int(os.environ.get("DDM_BENCH_OVERLAP", "2"))
     nev = int(os.environ.get("DDM_BENCH_NEV", "8"))
 
     t0 = time.perf_counter()
-    p = build_problem(gridsize, parts, overlap, nev)
+    p = build_problem(gridsize, parts, overlap, nev, dim=dim)
     host_setup_s = time.perf_counter() - t0
     log(f"host setup: {host_setup_s:.3f}s; n={p.disc.n_dofs} "
         f"n_sub={p.topo.n_sub} n_pad={p.topo.n_pad}")
@@ -482,8 +491,9 @@ def main():
     best_cpu = min(t for t, _ in cpu_totals.values())
     cold = tpu.get("cold", tpu)
     out = {
-        "metric": f"poisson_islands_geneo_ras_{gridsize}x{gridsize}_"
-                  f"{parts * parts}sub_setup_solve",
+        "metric": f"poisson_islands_geneo_ras_"
+                  f"{'x'.join([str(gridsize)] * dim)}_"
+                  f"{parts ** dim}sub_setup_solve",
         "value": round(tpu_total, 4),
         "unit": "s",
         "vs_baseline": round(best_cpu / tpu_total, 3),

@@ -115,7 +115,11 @@ def batched(x) -> jnp.ndarray:
             # direct device_put (host numpy lands pre-sliced per device; an
             # already-committed jnp array with the right sharding is a no-op)
             return jax.device_put(x, NamedSharding(mesh, P(axis)))
-    return jnp.asarray(x)
+    from .xfer import upload
+
+    # single-device path: flat upload avoids tiled-layout padding through
+    # the remote tunnel for tiny-minor-dim host arrays (core/xfer.py)
+    return upload(x)
 
 
 def replicate(x) -> jnp.ndarray:

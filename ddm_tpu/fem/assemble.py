@@ -46,9 +46,15 @@ def eval_coefficient(fn, x):
         cpu = jax.devices("cpu")[0]
     except RuntimeError:
         return fn(x)
+    from ..core.xfer import upload
+
+    # transfer the quadrature points device->host FLAT and the coefficient
+    # values back the same way: tiny-minor-dim arrays pay the (8, 128)
+    # tiled-layout padding through the remote tunnel otherwise (core/xfer.py)
+    xh = np.asarray(jax.device_put(x.reshape(-1), cpu)).reshape(x.shape)
     with jax.default_device(cpu):
-        out = fn(jax.device_put(x, cpu))
-    return jax.device_put(out, jax.devices()[0])
+        out = fn(jnp.asarray(xh))
+    return upload(np.asarray(out))
 
 
 # -- reference-element quadrature + shape functions --------------------------

@@ -104,7 +104,8 @@ class DGDiscretization:
         self.lo = lo
         self.n_dofs = 4 * self.grid.n_elems
         self.quad = ElementQuadrature("quad")
-        self.xe = jnp.asarray(self.grid.nodes[self.grid.elems])
+        from ..core.xfer import upload
+        self.xe = upload(self.grid.nodes[self.grid.elems])
         self._build_faces()
         self._build_pattern()
 
@@ -446,7 +447,8 @@ class SimplexDGDiscretization:
         g = self.grid
         self.n_dofs = 3 * g.n_elems
         self.quad = ElementQuadrature("tri")
-        self.xe = jnp.asarray(g.nodes[g.elems])
+        from ..core.xfer import upload
+        self.xe = upload(g.nodes[g.elems])
         self._build_faces()
         self._build_pattern()
 

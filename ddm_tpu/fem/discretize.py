@@ -61,12 +61,19 @@ class Discretization:
              basis) = p2_dofs(self.grid)
         else:
             raise NotImplementedError(f"degree {self.degree}")
+        from ..core.xfer import upload
+
         self.quad = ElementQuadrature(basis)
-        self.xe = jnp.asarray(self._node_coords[self._elem_nodes])
+        # flat upload: the (n_e, nd, d) coordinate batch pays ~64x tiled-
+        # layout padding through the remote tunnel if transferred direct
+        # (measured 734 s at the 384^2 bench, scratch/setup_phases_r4.py)
+        self.xe = upload(self._node_coords[self._elem_nodes])
         self.n_dofs = self._node_coords.shape[0] * self.n_comp
         rows, cols = element_coo_indices(self._elem_nodes, self.n_comp)
         self.pattern = EllPattern.from_coo(rows, cols, self.n_dofs)
-        self._dof_scatter = jnp.asarray(self.dof_tuples().reshape(-1))
+        self._dof_scatter = upload(
+            self.dof_tuples().reshape(-1), dtype=np.int32
+        )
 
     # -- masks / boundary data --------------------------------------------
     @cached_property
