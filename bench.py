@@ -109,8 +109,8 @@ def build_problem(gridsize, parts, overlap, nev, dim=2):
         pt[k.strip()] = v
     # DDM_BENCH_DIM=3 runs the 3-D hex analogue of BASELINE config 2
     # (3-D GenEO-RAS, reference poisson.ini): same islands coefficient
-    # (x,y-dependent, z-extruded), 27-point stencil ELL, general
-    # (non-canvas) extraction/scatter paths
+    # (x,y-dependent, z-extruded), 27-point stencil ELL, N-D box canvas
+    # (core/boxnd.py) for the extraction/gather/scatter fast paths
     grid = structured_grid((gridsize,) * dim)
     return setup_problem(pt, problem=pm.islands(), grid=grid,
                          parts=(parts,) * dim)

@@ -78,9 +78,21 @@ def _try_rect_relayout(topo, disc, pad_to):
     from .structured import detect_rect_layout, relayout_rect
 
     shape = getattr(disc.grid, "shape", None)
-    if shape is None or len(shape) != 2:
+    if shape is None:
         return topo
     nc = getattr(disc, "n_comp", 1)
+    if len(shape) == 3:
+        # 3-D box canvas (core/boxnd.py): axis-0-fastest numbering makes
+        # the row-major dof grid (slow..fast) = (s2+1, s1+1, (s0+1)*nc)
+        from .boxnd import detect_box_layout, relayout_box
+
+        dims = (shape[2] + 1, shape[1] + 1, (shape[0] + 1) * nc)
+        meta = detect_box_layout(topo, dims, pad_to=pad_to)
+        if meta is not None:
+            return relayout_box(topo, meta)
+        return topo
+    if len(shape) != 2:
+        return topo
     # grids.py numbers nodes axis-0-fastest: flat = i0 + i1*(shape[0]+1),
     # i.e. rows = axis 1, cols = axis 0; try the transpose too in case a
     # caller-built grid numbered the other way round.

@@ -64,6 +64,16 @@ class RectMeta:
     groups: tuple
     perm: tuple  # inverse permutation: X_groups[perm[k]] is subdomain k
 
+    # common canvas protocol (shared with boxnd.BoxMeta): row-major dof grid
+    # dims and canvas tile dims, slowest..fastest
+    @property
+    def dims(self) -> tuple:
+        return (self.ny, self.nx)
+
+    @property
+    def tile(self) -> tuple:
+        return (self.h, self.w)
+
 
 def detect_rect_layout(topo, dof_grid, pad_to: int = 8) -> RectMeta | None:
     """Host: check that every subdomain of ``topo`` is an axis-aligned
@@ -223,10 +233,15 @@ def relayout_rect(topo, meta: RectMeta):
 # -- device fast paths --------------------------------------------------------
 
 
-def rect_gather(x: jnp.ndarray, meta: RectMeta) -> jnp.ndarray:
+def rect_gather(x: jnp.ndarray, meta) -> jnp.ndarray:
     """Global (n,) -> (n_sub, n_pad) in canvas layout; out-of-domain canvas
     slots read 0.  Pure pad/slice/reshape/transpose + one batch-row
-    permutation."""
+    permutation.  Dispatches to the N-D box canvas (core/boxnd.py) when
+    ``meta`` is a BoxMeta."""
+    from .boxnd import BoxMeta, box_gather
+
+    if isinstance(meta, BoxMeta):
+        return box_gather(x, meta)
     x2 = x.reshape(meta.ny, meta.nx)
     xp = jnp.pad(x2, ((meta.m_r, meta.ny_p - meta.ny - meta.m_r),
                       (meta.m_c, meta.nx_p - meta.nx - meta.m_c)))
@@ -243,13 +258,17 @@ def rect_gather(x: jnp.ndarray, meta: RectMeta) -> jnp.ndarray:
     return X
 
 
-def rect_offset_decomp(offsets, meta: RectMeta):
+def rect_offset_decomp(offsets, meta):
     """Host: map each global stencil offset ``d`` (col = row + d on the
     row-major (ny, nx) dof grid) to its canvas-local offset ``dr*w + dc``.
 
     Returns a list of (dr, dc) or None when any offset does not decompose
     into a small-|dc| grid step (-> general extraction path).
     """
+    from .boxnd import BoxMeta, box_offset_decomp
+
+    if isinstance(meta, BoxMeta):
+        return box_offset_decomp(offsets, meta)
     out = []
     for d in offsets:
         d = int(d)
@@ -261,10 +280,14 @@ def rect_offset_decomp(offsets, meta: RectMeta):
     return out
 
 
-def _rect_window_masks(decomp, meta: RectMeta) -> np.ndarray:
+def _rect_window_masks(decomp, meta) -> np.ndarray:
     """Host: (m, n_pad) bool — slot k's entry at canvas slot l is kept only
     when the neighbour slot l + dr*w + dc stays inside the (h, w) canvas
     window (crossing a canvas row is a different dof entirely)."""
+    from .boxnd import BoxMeta, box_window_masks
+
+    if isinstance(meta, BoxMeta):
+        return box_window_masks(decomp, meta)
     lr, lc = np.divmod(np.arange(meta.h * meta.w), meta.w)
     masks = np.zeros((len(decomp), meta.n_pad), dtype=bool)
     for k, (dr, dc) in enumerate(decomp):
@@ -302,9 +325,14 @@ def rect_dense_from_stencil(
     Exactness: identical entries to the general path (same values read from
     the same slots; masking reproduces the drop-outside-columns rule).
     """
+    from .boxnd import BoxMeta, box_local_offsets
+
     n_pad = meta.n_pad
     n_sub = valid.shape[0]
-    offs = [dr * meta.w + dc for dr, dc in decomp]
+    if isinstance(meta, BoxMeta):
+        offs = box_local_offsets(decomp, meta)
+    else:
+        offs = [dr * meta.w + dc for dr, dc in decomp]
     lo = min(min(offs), 0)
     width = n_pad + 1
     U = jnp.zeros((n_sub, n_pad, width), valsT.dtype)
@@ -359,7 +387,10 @@ def rect_scatter_add_shard(
     only the float summation ORDER differs across devices."""
     import jax
 
-    n_sub = meta.n_pr * meta.n_pc
+    from .boxnd import BoxMeta
+
+    n_sub = (int(np.prod(meta.nparts)) if isinstance(meta, BoxMeta)
+             else meta.n_pr * meta.n_pc)
     full = jnp.zeros((n_sub,) + x_loc.shape[1:], x_loc.dtype)
     shard = jax.lax.axis_index(axis)
     full = jax.lax.dynamic_update_slice_in_dim(
@@ -368,10 +399,14 @@ def rect_scatter_add_shard(
     return jax.lax.psum(rect_scatter_add(full, meta), axis)
 
 
-def rect_scatter_add(x_sub: jnp.ndarray, meta: RectMeta) -> jnp.ndarray:
+def rect_scatter_add(x_sub: jnp.ndarray, meta) -> jnp.ndarray:
     """(n_sub, n_pad) canvas-layout -> global (n,) by summation — the exact
     adjoint of :func:`rect_gather` (out-of-domain canvas slots are dropped,
     so callers must keep them zero, which ``valid``-masked math does)."""
+    from .boxnd import BoxMeta, box_scatter_add
+
+    if isinstance(meta, BoxMeta):
+        return box_scatter_add(x_sub, meta)
     G_r, G_c = meta.g_r * meta.pitch_r, meta.g_c * meta.pitch_c
     X = x_sub[:, : meta.h * meta.w]
     acc = jnp.zeros((meta.ny_p, meta.nx_p), x_sub.dtype)

@@ -190,28 +190,28 @@ def _pairs_shift_maps(topo):
         return cached
     pi_j, pj_j, _ = _pairs_maps(topo)
     pi, pj = np.asarray(pi_j), np.asarray(pj_j)
-    nx = topo.rect.nx
-    w = topo.rect.w  # uniform canvas width: padded SLOT index is
-    # canvas-row-major (slot = (r - R0) * w + (c - C0)) for every
-    # subdomain, including clipped boundary rects
+    # uniform canvas tile: padded SLOT index is canvas-row-major
+    # (slot = (coord - anchor) @ tile_strides) for every subdomain,
+    # including clipped boundary boxes — dims/tile are the common canvas
+    # protocol of RectMeta (2-D) and boxnd.BoxMeta (N-D)
+    dims = topo.rect.dims
+    tile = np.array(topo.rect.tile, np.int64)
+    strides = np.cumprod(np.concatenate([tile[1:], [1]])[::-1])[::-1]
+    nd = len(dims)
     n_sub = topo.n_sub
-    R0 = np.zeros(n_sub, np.int64)
-    C0 = np.zeros(n_sub, np.int64)
+    A0 = np.zeros((n_sub, nd), np.int64)
     canvas = np.zeros(n_sub, bool)
     for k in range(n_sub):
         slots = np.flatnonzero(topo.valid[k])
         ids = topo.sub2glob[k][slots].astype(np.int64)
-        r, c = np.divmod(ids, nx)
-        R0[k] = r[0] - slots[0] // w
-        C0[k] = c[0] - slots[0] % w
+        coords = np.stack(np.unravel_index(ids, dims), axis=1)
+        lc = np.stack(np.unravel_index(slots, tuple(tile)), axis=1)
+        A0[k] = coords[0] - lc[0]
         # verify the canvas layout for every valid slot (vector-valued or
         # reordered numberings fail here and take the general gather)
-        canvas[k] = (
-            np.array_equal(r, R0[k] + slots // w)
-            and np.array_equal(c, C0[k] + slots % w)
-        )
+        canvas[k] = np.array_equal(coords, A0[k][None, :] + lc)
     same = canvas[pi] & canvas[pj]
-    d_all = (R0[pi] - R0[pj]) * w + (C0[pi] - C0[pj])
+    d_all = (A0[pi] - A0[pj]) @ strides
     shifts, sgroups = [], []
     for d in np.unique(d_all[same]):
         idx = np.flatnonzero(same & (d_all == d))
