@@ -26,9 +26,34 @@ from __future__ import annotations
 import dataclasses
 from dataclasses import dataclass, field
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def tiled_take(xp: jnp.ndarray, idx: jnp.ndarray, tile: int = 128) -> jnp.ndarray:
+    """Bandwidth-class gather from a 1-D operand on TPU.
+
+    ``xp[idx]`` with 1-D ``xp`` executes element-at-a-time on this backend
+    (~14 ns/element, round-3 measurement, scratch/spmv_variants_r3.py) —
+    but ROW gathers from a 2-D operand with a lane-friendly minor dim run
+    at HBM bandwidth (round-2/3 indexing rules).  So: reshape ``xp`` into
+    (n_t, tile) lane rows, row-gather each index's tile, and select the
+    lane with a fused one-hot multiply-reduce.  Costs ``tile`` bytes of
+    stream per index instead of one element-at-a-time transaction; wins
+    whenever the gather is the bottleneck (unstructured SpMV, general
+    subdomain gathers).  Exact: pure data movement, same values.
+    """
+    n = xp.shape[0]
+    n_t = -(-n // tile)
+    x2 = jnp.pad(xp, (0, n_t * tile - n)).reshape(n_t, tile)
+    t = (idx // tile).astype(jnp.int32)
+    l = (idx % tile).astype(jnp.int32)
+    rows = x2[t]  # (..., tile) — bandwidth row gather
+    sel = (l[..., None] == jnp.arange(tile, dtype=jnp.int32)).astype(xp.dtype)
+    return (rows * sel).sum(axis=-1)
 
 
 @jax.tree_util.register_dataclass

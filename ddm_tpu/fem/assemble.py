@@ -249,6 +249,45 @@ def element_geometry(quad: ElementQuadrature, xe: jnp.ndarray):
     return xq, grads, jxw
 
 
+def _elem_chunk(quad: ElementQuadrature, xe, factor: int = 1) -> int | None:
+    """Element-batch chunk size, or None to assemble in one shot.
+
+    The per-quadrature-point temporaries scale as n_e * q * nd * d (times
+    d*d more for elasticity): at 3-D bench scale (157k hexes) the one-shot
+    einsums exhausted HBM (22.7 GB vs 15.75 GB, measured r4).  Chunk the
+    element batch so each slab's temporaries stay bounded; 2-D bench-scale
+    batches stay far below the threshold and keep the one-shot path.
+    ``DDM_ASSEMBLY_CHUNK`` overrides (0 disables chunking)."""
+    import os
+
+    env = os.environ.get("DDM_ASSEMBLY_CHUNK")
+    if env is not None:
+        c = int(env)
+        return None if c <= 0 or c >= xe.shape[0] else c
+    n_e, nd, d = xe.shape
+    q = quad.phi.shape[0]
+    budget = 4 << 20  # grads elements per slab (~32 MB f64)
+    per = q * nd * d * factor
+    if n_e * per <= 2 * budget:
+        return None
+    return max(1024, budget // per)
+
+
+def _chunked_elements(body, xe: jnp.ndarray, chunk: int):
+    """Run ``body`` (xe_slab -> pytree of (n_slab, ...) arrays) over the
+    element batch in ``chunk``-sized slabs via ``lax.map`` (one compile,
+    slab-sized temporaries).  Padding repeats the last element — valid
+    geometry, so no NaN/inf leaks — and is sliced off the outputs."""
+    n_e = xe.shape[0]
+    k = -(-n_e // chunk)
+    pad = k * chunk - n_e
+    xp = jnp.concatenate([xe, jnp.repeat(xe[-1:], pad, axis=0)]) if pad else xe
+    out = jax.lax.map(body, xp.reshape((k, chunk) + xe.shape[1:]))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((k * chunk,) + a.shape[2:])[:n_e], out
+    )
+
+
 def assemble_convection_diffusion(
     quad: ElementQuadrature,
     xe: jnp.ndarray,
@@ -268,6 +307,15 @@ def assemble_convection_diffusion(
     — the integrated-by-parts form required for consistency with upwind DG
     face fluxes (assumes div b = 0, as PDELab's ConvectionDiffusionDG does).
     """
+    chunk = _elem_chunk(quad, xe)
+    if chunk is not None:
+        return _chunked_elements(
+            lambda xs: assemble_convection_diffusion(
+                quad, xs, alpha_fn, b_fn, c_fn, f_fn,
+                convection_divergence_form,
+            ),
+            xe, chunk,
+        )
     xq, grads, jxw = element_geometry(quad, xe)
     alpha = eval_coefficient(alpha_fn, xq)  # (n_e, q)
     Ke = jnp.einsum("eq,eqig,eqjg->eij", jxw * alpha, grads, grads)
@@ -308,6 +356,16 @@ def assemble_linear_elasticity(
     DOF ordering within the element: node-major, component-minor, i.e.
     dof (i, c) -> i * d + c.  Returns (Ke (n_e, nd*d, nd*d), fe (n_e, nd*d)).
     """
+    # the eps/div einsum temporaries are (e, q, i, j, c, k) — nd*d times
+    # the scalar assembler's grads stream
+    chunk = _elem_chunk(quad, xe, factor=xe.shape[1] * xe.shape[2])
+    if chunk is not None:
+        return _chunked_elements(
+            lambda xs: assemble_linear_elasticity(
+                quad, xs, lame_lambda_fn, lame_mu_fn, f_fn
+            ),
+            xe, chunk,
+        )
     xq, grads, jxw = element_geometry(quad, xe)
     n_e, q, nd, d = grads.shape
     lam = eval_coefficient(lame_lambda_fn, xq)  # (n_e, q)

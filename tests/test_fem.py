@@ -133,3 +133,40 @@ def test_msh_parser_unitsquare():
     v2 = x[:, 2] - x[:, 0]
     area = 0.5 * np.abs(v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]).sum()
     assert abs(area - 1.0) < 1e-8
+
+
+def test_chunked_element_assembly_matches_one_shot(monkeypatch):
+    """Large element batches assemble in lax.map slabs (_chunked_elements,
+    added after the 157k-hex one-shot einsums OOMed 22.7 GB of HBM at the
+    3-D bench, r4).  Chunked and one-shot agree to contraction-order
+    roundoff."""
+    from ddm_tpu.fem.assemble import (
+        ElementQuadrature,
+        assemble_convection_diffusion,
+        assemble_linear_elasticity,
+    )
+    from ddm_tpu.fem.grids import structured_grid
+    from ddm_tpu.fem import problems as pm
+
+    grid = structured_grid((6, 6, 6))
+    quad = ElementQuadrature("hex")
+    xe = jnp.asarray(grid.nodes[grid.elems])
+    prob = pm.islands()
+    monkeypatch.setenv("DDM_ASSEMBLY_CHUNK", "0")
+    K0, f0 = assemble_convection_diffusion(quad, xe, prob.alpha, prob.b,
+                                           prob.c, prob.f)
+    monkeypatch.setenv("DDM_ASSEMBLY_CHUNK", "50")
+    K1, f1 = assemble_convection_diffusion(quad, xe, prob.alpha, prob.b,
+                                           prob.c, prob.f)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K0),
+                               rtol=1e-13, atol=1e-13 * float(jnp.abs(K0).max()))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
+
+    ep = pm.steel_rubber_bar()
+    monkeypatch.setenv("DDM_ASSEMBLY_CHUNK", "0")
+    K0, f0 = assemble_linear_elasticity(quad, xe, ep.lam, ep.mu, ep.f)
+    monkeypatch.setenv("DDM_ASSEMBLY_CHUNK", "37")
+    K1, f1 = assemble_linear_elasticity(quad, xe, ep.lam, ep.mu, ep.f)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K0),
+                               rtol=1e-13, atol=1e-13 * float(jnp.abs(K0).max()))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))

@@ -99,3 +99,23 @@ def test_transforms_preserve_stencil_metadata():
             np.asarray(out.mv(x)), np.asarray(out._mv_general(x)),
             rtol=1e-13, atol=1e-13,
         )
+
+
+def test_tiled_take_exact():
+    """tiled_take (bandwidth-class 1-D gather: row-gather + one-hot lane
+    select) must be bit-exact pure data movement for any index shape,
+    including tile-boundary indices and non-multiple-of-128 operands."""
+    from ddm_tpu.core.sparse import tiled_take
+
+    rng = np.random.default_rng(3)
+    for n in (130, 1000, 4096):
+        x = jnp.asarray(rng.standard_normal(n))
+        idx = jnp.asarray(rng.integers(0, n, size=(7, 345)))
+        np.testing.assert_array_equal(
+            np.asarray(tiled_take(x, idx)), np.asarray(x)[np.asarray(idx)]
+        )
+    x = jnp.arange(300, dtype=jnp.float64)
+    idx = jnp.asarray([0, 127, 128, 129, 255, 256, 299])
+    np.testing.assert_array_equal(
+        np.asarray(tiled_take(x, idx)), np.asarray(x)[np.asarray(idx)]
+    )
