@@ -325,18 +325,30 @@ def rect_dense_from_stencil(
     Exactness: identical entries to the general path (same values read from
     the same slots; masking reproduces the drop-outside-columns rule).
     """
+    G = rect_slot_streams(valsT, valid, meta, decomp, window_masks)
+    offs = canvas_local_offsets(decomp, meta)
+    return rect_dense_place(G, valid, offs, unit_padding_diag)
+
+
+def canvas_local_offsets(decomp, meta) -> list[int]:
+    """Canvas-local flat offset of each decomposed stencil step."""
     from .boxnd import BoxMeta, box_local_offsets
 
-    n_pad = meta.n_pad
-    n_sub = valid.shape[0]
     if isinstance(meta, BoxMeta):
-        offs = box_local_offsets(decomp, meta)
-    else:
-        offs = [dr * meta.w + dc for dr, dc in decomp]
-    lo = min(min(offs), 0)
-    width = n_pad + 1
-    U = jnp.zeros((n_sub, n_pad, width), valsT.dtype)
+        return box_local_offsets(decomp, meta)
+    return [dr * meta.w + dc for dr, dc in decomp]
+
+
+def rect_slot_streams(
+    valsT: jnp.ndarray, valid: jnp.ndarray, meta, decomp, window_masks
+) -> jnp.ndarray:
+    """Stage 1 of the scatter-free extraction: the masked per-slot canvas
+    streams, (m, n_sub, n_pad).  Bandwidth layout transforms over the full
+    batch — small (m * n_sub * n_pad elements)."""
+    n_pad = meta.n_pad
+    offs = canvas_local_offsets(decomp, meta)
     wm = jnp.asarray(window_masks)
+    gs = []
     for k, o in enumerate(offs):
         g = rect_gather(valsT[k], meta)  # (n_sub, n_pad)
         # neighbour validity: valid[:, l + o] with out-of-range -> False
@@ -344,8 +356,27 @@ def rect_dense_from_stencil(
             nbr = jnp.pad(valid, ((0, 0), (0, o)))[:, o:]
         else:
             nbr = jnp.pad(valid, ((0, 0), (-o, 0)))[:, :n_pad]
-        g = jnp.where(valid & nbr & wm[k][None, :], g, 0.0)
-        U = U.at[:, :, o - lo].add(g)
+        gs.append(jnp.where(valid & nbr & wm[k][None, :], g, 0.0))
+    return jnp.stack(gs)
+
+
+def rect_dense_place(
+    G: jnp.ndarray,  # (m, n_slab, n_pad) masked slot streams
+    valid: jnp.ndarray,  # (n_slab, n_pad)
+    offs: list,
+    unit_padding_diag: bool = True,
+) -> jnp.ndarray:
+    """Stage 2: place the slot streams onto the dense diagonals via the
+    stride-(n_pad+1) band trick.  This is the HBM-heavy stage (the
+    (n_slab, n_pad, n_pad+1) band array) — callers chunk the subdomain
+    batch through it when the full batch would not fit (measured r4: the
+    3-D bench's (512, 1000, 1001) one-shot exhausted HBM)."""
+    n_sub, n_pad = valid.shape
+    lo = min(min(offs), 0)
+    width = n_pad + 1
+    U = jnp.zeros((n_sub, n_pad, width), G.dtype)
+    for k, o in enumerate(offs):
+        U = U.at[:, :, o - lo].add(G[k])
     flat = U.reshape(n_sub, n_pad * width)
     # value of slot (i, o) sits at i*(n_pad+1) + (o - lo); the dense target
     # position is i*n_pad + (i + o) = i*(n_pad+1) + o  ->  shift by lo

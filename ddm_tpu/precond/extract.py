@@ -53,6 +53,54 @@ def _rect_dense_jit(meta, offsets, unit_padding_diag: bool):
     ))
 
 
+@lru_cache(maxsize=32)
+def _rect_streams_jit(meta, offsets):
+    import jax
+
+    from ..core.structured import rect_slot_streams
+
+    decomp, wmasks = _rect_stencil_meta(meta, offsets)
+    return jax.jit(lambda valsT, valid: rect_slot_streams(
+        valsT, valid, meta, decomp, wmasks,
+    ))
+
+
+@lru_cache(maxsize=32)
+def _rect_place_jit(meta, offsets, unit_padding_diag: bool):
+    import jax
+
+    from ..core.structured import canvas_local_offsets, rect_dense_place
+
+    decomp, _ = _rect_stencil_meta(meta, offsets)
+    offs = tuple(canvas_local_offsets(decomp, meta))
+    return jax.jit(lambda G, valid: rect_dense_place(
+        G, valid, list(offs), unit_padding_diag=unit_padding_diag,
+    ))
+
+
+def _rect_extract(ell, valid, rect, unit_padding_diag: bool):
+    """Canvas extraction, one-shot when the band array fits HBM, else the
+    gather stage runs full-batch (small) and the HBM-heavy placement stage
+    runs in subdomain slabs (one compile; measured r4: the 3-D bench's
+    (512, 1000, 1001) one-shot band exhausted HBM)."""
+    from ..solvers.direct import batch_chunk_size, chunked_batch
+
+    n_sub, n_pad = valid.shape
+    # placement holds band + dense + update double-buffers: ~4 batch-sized
+    # f64 temporaries
+    one_shot_ok = n_sub * n_pad * n_pad * 8 * 4 <= (8 << 30)
+    if one_shot_ok:
+        fn = _rect_dense_jit(rect, ell.offsets, unit_padding_diag)
+        return batched(fn(ell.valsT, valid))
+    G = _rect_streams_jit(rect, ell.offsets)(ell.valsT, valid)
+    place = _rect_place_jit(rect, ell.offsets, unit_padding_diag)
+    chunk = batch_chunk_size(n_pad, 8, live_buffers=6)
+    return batched(chunked_batch(
+        lambda Gt, v: place(jnp.moveaxis(Gt, 0, 1), v),
+        jnp.moveaxis(G, 0, 1), valid, chunk=chunk,
+    ))
+
+
 def rect_extract_ok(ell: SparseELL, rect, n_pad: int) -> bool:
     """True when the scatter-free rect stencil extraction applies (callers
     may then skip building/uploading the extraction_map entirely)."""
@@ -85,8 +133,7 @@ def extract_subdomain_dense(
     element-at-a-time on TPU (~0.5 s at bench scale, round-3 measurement).
     """
     if rect_extract_ok(ell, rect, sub2glob.shape[1]):
-        fn = _rect_dense_jit(rect, ell.offsets, bool(unit_padding_diag))
-        return batched(fn(ell.valsT, valid))
+        return _rect_extract(ell, valid, rect, bool(unit_padding_diag))
     if local_cols is None:
         raise ValueError(
             "general extraction path needs local_cols (extraction_map); "

@@ -211,3 +211,32 @@ def test_neumann_subtraction_unequilibrated():
                                rtol=0, atol=1e-12 * scale)
     np.testing.assert_allclose(np.asarray(B_f), np.asarray(B_s),
                                rtol=0, atol=1e-12 * scale)
+
+
+def test_chunked_placement_matches_one_shot():
+    """The slab-chunked extraction placement (r4: the 3-D bench's one-shot
+    band array exhausted HBM) is bitwise equal to the one-shot path."""
+    import jax.numpy as jnp
+
+    from ddm_tpu.api import default_ptree, setup_problem
+    from ddm_tpu.precond.extract import (
+        _rect_dense_jit,
+        _rect_place_jit,
+        _rect_streams_jit,
+    )
+    from ddm_tpu.solvers.direct import chunked_batch
+
+    pt = default_ptree()
+    pt["gridsize"] = 24
+    p = setup_problem(pt, parts=(4, 2))
+    rect = p.topo.rect
+    assert rect is not None
+    valid = jnp.asarray(p.topo.valid)
+    one = _rect_dense_jit(rect, p.A.offsets, True)(p.A.valsT, valid)
+    G = _rect_streams_jit(rect, p.A.offsets)(p.A.valsT, valid)
+    place = _rect_place_jit(rect, p.A.offsets, True)
+    chunked = chunked_batch(
+        lambda Gt, v: place(jnp.moveaxis(Gt, 0, 1), v),
+        jnp.moveaxis(G, 0, 1), valid, chunk=3,
+    )
+    np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one))
