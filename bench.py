@@ -433,8 +433,8 @@ def run_cpu_baseline(p, nev):
 def main():
     dim = int(os.environ.get("DDM_BENCH_DIM", "2"))
     gridsize = int(os.environ.get("DDM_BENCH_GRIDSIZE",
-                                  "384" if dim == 2 else "54"))
-    parts = int(os.environ.get("DDM_BENCH_PARTS", "16" if dim == 2 else "4"))
+                                  "384" if dim == 2 else "56"))
+    parts = int(os.environ.get("DDM_BENCH_PARTS", "16" if dim == 2 else "8"))
     overlap = int(os.environ.get("DDM_BENCH_OVERLAP", "2"))
     nev = int(os.environ.get("DDM_BENCH_NEV", "8"))
 

@@ -140,6 +140,28 @@ def extract_subdomain_dense(
             "None is only valid when the rect stencil fast path applies"
         )
     n_sub, n_pad = sub2glob.shape
+    # the (n_slab, n_pad, n_pad+1) scatter target is the HBM-heavy buffer —
+    # chunk the subdomain batch through it when the one-shot would not fit
+    # (same rule as the canvas placement stage, measured r4 at the 3-D
+    # bench: 512 x 1000 x 1001 f64 one-shot exhausted HBM)
+    if n_sub * n_pad * n_pad * 8 * 4 > (8 << 30):
+        from ..solvers.direct import batch_chunk_size, chunked_batch
+
+        chunk = batch_chunk_size(n_pad, 8, live_buffers=6)
+        return batched(chunked_batch(
+            lambda s, v, lc: _general_extract_slab(
+                ell, s, v, lc, bool(unit_padding_diag)
+            ),
+            sub2glob, valid, local_cols, chunk=chunk,
+        ))
+    return _general_extract_slab(
+        ell, sub2glob, valid, local_cols, bool(unit_padding_diag)
+    )
+
+
+def _general_extract_slab(ell, sub2glob, valid, local_cols,
+                          unit_padding_diag: bool):
+    n_sub, n_pad = sub2glob.shape
     n = ell.n
     rows = jnp.minimum(sub2glob, n - 1)
     vals, _ = ell.rows_dense_gather(rows)  # (n_sub, n_pad, m)
