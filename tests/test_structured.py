@@ -240,3 +240,34 @@ def test_chunked_placement_matches_one_shot():
         jnp.moveaxis(G, 0, 1), valid, chunk=3,
     )
     np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one))
+
+
+def test_fill_chunked_matches_one_shot():
+    """The donated in-place slab filler (r4: chunked_batch's
+    list+concatenate held 2x the batch and OOMed the 3-D extraction) is
+    bitwise equal to the one-shot extraction."""
+    import jax.numpy as jnp
+
+    from ddm_tpu.api import default_ptree, setup_problem
+    from ddm_tpu.precond.extract import (
+        _fill_chunked,
+        _rect_dense_jit,
+        _rect_place_jit,
+        _rect_streams_jit,
+    )
+
+    pt = default_ptree()
+    pt["gridsize"] = 24
+    p = setup_problem(pt, parts=(4, 2))
+    rect = p.topo.rect
+    valid = jnp.asarray(p.topo.valid)
+    one = _rect_dense_jit(rect, p.A.offsets, True)(p.A.valsT, valid)
+    G = _rect_streams_jit(rect, p.A.offsets)(p.A.valsT, valid)
+    place = _rect_place_jit(rect, p.A.offsets, True)
+    n_sub, n_pad = valid.shape
+    filled = _fill_chunked(
+        lambda Gc, v: place(jnp.moveaxis(Gc, 0, 1), v),
+        n_sub, 3, (n_sub, n_pad, n_pad), p.A.valsT.dtype,
+        jnp.moveaxis(G, 0, 1), valid,
+    )
+    np.testing.assert_array_equal(np.asarray(filled), np.asarray(one))
