@@ -79,50 +79,11 @@ def _rect_place_jit(meta, offsets, unit_padding_diag: bool):
     ))
 
 
-@lru_cache(maxsize=2)
-def _dus0_jit():
-    import jax
-    from jax import lax
-
-    return jax.jit(
-        lambda out, slab, i: lax.dynamic_update_slice_in_dim(
-            out, slab, i, axis=0
-        ),
-        donate_argnums=0,
-    )
-
-
-def _fill_chunked(slab_fn, n_sub, chunk, out_shape, dtype, *arrays):
-    """Fill a preallocated (n_sub, ...) batch with slab_fn outputs via a
-    DONATED dynamic_update_slice per slab.  chunked_batch's
-    list-then-concatenate holds every slab output PLUS the concatenated
-    result (2x the batch), and the backend's async dispatch keeps several
-    slabs' temporaries live at once — at the 3-D bench (512 x 1000 x 1000
-    f64 = 4.1 GB per batch) that OOMed even with chunked placement
-    (measured r4).  The donated update reuses the output buffer in place,
-    and the per-slab fetch of one element bounds the async queue."""
-    import jax
-
-    out = jnp.zeros(out_shape, dtype)
-    dus = _dus0_jit()
-    i = 0
-    while i < n_sub:
-        j = min(i + chunk, n_sub)
-        slab = slab_fn(*(a[i:j] for a in arrays))
-        out = dus(out, slab, i)
-        # serialize: one tiny fetch retires the slab's temporaries before
-        # the next slab is enqueued
-        np.asarray(jax.device_get(slab.ravel()[-1:]))
-        i = j
-    return out
-
-
 def _rect_extract(ell, valid, rect, unit_padding_diag: bool):
     """Canvas extraction, one-shot when the band array fits HBM, else the
     gather stage runs full-batch (small) and the HBM-heavy placement stage
     runs in subdomain slabs (one compile; measured r4: the 3-D bench's
     (512, 1000, 1001) one-shot band exhausted HBM)."""
-    from ..core.mesh import active_setup
     from ..solvers.direct import batch_chunk_size, chunked_batch
 
     n_sub, n_pad = valid.shape
@@ -137,13 +98,9 @@ def _rect_extract(ell, valid, rect, unit_padding_diag: bool):
     chunk = batch_chunk_size(n_pad, 8, live_buffers=6)
     Gt = jnp.moveaxis(G, 0, 1)
     fn = lambda Gc, v: place(jnp.moveaxis(Gc, 0, 1), v)  # noqa: E731
-    if active_setup() is not None:
-        # sharded setup: chunked_batch re-commits each chunk to the mesh
-        # sharding (per-device HBM shares scale the budget)
-        return batched(chunked_batch(fn, Gt, valid, chunk=chunk))
-    return batched(_fill_chunked(
-        fn, n_sub, chunk, (n_sub, n_pad, n_pad), ell.valsT.dtype, Gt, valid,
-    ))
+    # chunked_batch fills a preallocated batch in place (donated updates)
+    # when unsharded, and re-commits chunks to the mesh sharding otherwise
+    return batched(chunked_batch(fn, Gt, valid, chunk=chunk))
 
 
 def rect_extract_ok(ell: SparseELL, rect, n_pad: int) -> bool:
@@ -190,20 +147,14 @@ def extract_subdomain_dense(
     # (same rule as the canvas placement stage, measured r4 at the 3-D
     # bench: 512 x 1000 x 1001 f64 one-shot exhausted HBM)
     if n_sub * n_pad * n_pad * 8 * 4 > (8 << 30):
-        from ..core.mesh import active_setup
         from ..solvers.direct import batch_chunk_size, chunked_batch
 
         chunk = batch_chunk_size(n_pad, 8, live_buffers=6)
         fn = lambda s, v, lc: _general_extract_slab(  # noqa: E731
             ell, s, v, lc, bool(unit_padding_diag)
         )
-        if active_setup() is not None:
-            return batched(chunked_batch(
-                fn, sub2glob, valid, local_cols, chunk=chunk,
-            ))
-        return batched(_fill_chunked(
-            fn, n_sub, chunk, (n_sub, n_pad, n_pad), ell.valsT.dtype,
-            sub2glob, valid, local_cols,
+        return batched(chunked_batch(
+            fn, sub2glob, valid, local_cols, chunk=chunk,
         ))
     return _general_extract_slab(
         ell, sub2glob, valid, local_cols, bool(unit_padding_diag)

@@ -353,6 +353,7 @@ def chunked_batch(fn, *arrays, chunk: int | None = None):
     if chunk >= n:
         return fn(*arrays)
     outs = []
+    fill = None  # in-place accumulation (see below), engaged after slab 0
     i = 0
     while i < n:
         j = min(i + chunk, n)
@@ -364,10 +365,48 @@ def chunked_batch(fn, *arrays, chunk: int | None = None):
             mesh, axis, _ = ctx
             sh = NamedSharding(mesh, P(axis))
             piece = tuple(jax.device_put(x, sh) for x in piece)
-        outs.append(fn(*piece))
+        out = fn(*piece)
+        if i == 0 and ctx is None:
+            # When every output leaf is batch-leading, fill a preallocated
+            # batch via DONATED dynamic_update_slice instead of
+            # list+concatenate: the concat holds every slab plus the result
+            # (2x the batch) and async dispatch keeps several slabs'
+            # temporaries live at once — measured OOM at the 3-D bench
+            # (512 x 1000 x 1000 f64 = 4.1 GB per batch, r4).  The one-element
+            # fetch retires each slab's temporaries before the next is
+            # enqueued.  Sharded setups keep the concat path (chunks are
+            # committed per-device; donation would fight the re-commit).
+            leaves = jax.tree_util.tree_leaves(out)
+            if all(
+                hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == j - i
+                for x in leaves
+            ):
+                fill = jax.tree_util.tree_map(
+                    lambda x: jnp.zeros((n,) + x.shape[1:], x.dtype), out
+                )
+        if fill is not None:
+            fill = jax.tree_util.tree_map(
+                lambda acc, x: _dus0_jit()(acc, x, i), fill, out
+            )
+            for x in jax.tree_util.tree_leaves(out):
+                np.asarray(jax.device_get(x.ravel()[-1:]))
+        else:
+            outs.append(out)
         i += chunk
+    if fill is not None:
+        return fill
     return jax.tree_util.tree_map(
         lambda *xs: jnp.concatenate(xs, axis=0), *outs
+    )
+
+
+@lru_cache(maxsize=1)
+def _dus0_jit():
+    return jax.jit(
+        lambda out, slab, i: jax.lax.dynamic_update_slice_in_dim(
+            out, slab, i, axis=0
+        ),
+        donate_argnums=0,
     )
 
 

@@ -242,32 +242,32 @@ def test_chunked_placement_matches_one_shot():
     np.testing.assert_array_equal(np.asarray(chunked), np.asarray(one))
 
 
-def test_fill_chunked_matches_one_shot():
-    """The donated in-place slab filler (r4: chunked_batch's
-    list+concatenate held 2x the batch and OOMed the 3-D extraction) is
-    bitwise equal to the one-shot extraction."""
+def test_chunked_batch_in_place_fill_matches_concat():
+    """chunked_batch's donated in-place fill path (engaged when unsharded
+    and every output leaf is batch-leading; r4 — the list+concatenate
+    variant held 2x the batch and OOMed the 3-D extraction) is bitwise
+    equal to the one-shot call, for single-array and tuple outputs."""
     import jax.numpy as jnp
 
-    from ddm_tpu.api import default_ptree, setup_problem
-    from ddm_tpu.precond.extract import (
-        _fill_chunked,
-        _rect_dense_jit,
-        _rect_place_jit,
-        _rect_streams_jit,
+    from ddm_tpu.solvers.direct import chunked_batch
+
+    rng = np.random.default_rng(5)
+    A = jnp.asarray(rng.standard_normal((13, 6, 6)))
+
+    fn = lambda a: a @ jnp.swapaxes(a, 1, 2)  # noqa: E731
+    np.testing.assert_array_equal(
+        np.asarray(chunked_batch(fn, A, chunk=4)), np.asarray(fn(A))
     )
 
-    pt = default_ptree()
-    pt["gridsize"] = 24
-    p = setup_problem(pt, parts=(4, 2))
-    rect = p.topo.rect
-    valid = jnp.asarray(p.topo.valid)
-    one = _rect_dense_jit(rect, p.A.offsets, True)(p.A.valsT, valid)
-    G = _rect_streams_jit(rect, p.A.offsets)(p.A.valsT, valid)
-    place = _rect_place_jit(rect, p.A.offsets, True)
-    n_sub, n_pad = valid.shape
-    filled = _fill_chunked(
-        lambda Gc, v: place(jnp.moveaxis(Gc, 0, 1), v),
-        n_sub, 3, (n_sub, n_pad, n_pad), p.A.valsT.dtype,
-        jnp.moveaxis(G, 0, 1), valid,
+    fn2 = lambda a: (a.sum(axis=(1, 2)), a * 2.0)  # noqa: E731
+    got = chunked_batch(fn2, A, chunk=5)
+    ref = fn2(A)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+
+    # a non-batch-leading output (scalar reduction) must fall back to concat
+    # behavior... (it cannot: leading dim mismatch -> accumulate+concat path)
+    fn3 = lambda a: a.reshape(-1)  # noqa: E731
+    np.testing.assert_array_equal(
+        np.asarray(chunked_batch(fn3, A, chunk=4)), np.asarray(A.reshape(-1))
     )
-    np.testing.assert_array_equal(np.asarray(filled), np.asarray(one))
