@@ -148,13 +148,14 @@ def build_preconditioner(p: DDMProblem, mesh=None, axis: str = "sub"):
     else:
         ctx = nullcontext()
     with ctx:
-        fine = build_schwarz(p.A, p.topo, p.pou, p.ptree)
         if cs_type == "none":
-            prec = fine
+            prec = build_schwarz(p.A, p.topo, p.pou, p.ptree)
         else:
+            # build_two_level orders the fine factorization vs the coarse
+            # basis construction to minimize peak HBM (see _CS_NEEDS_FINE)
             from .precond.two_level import build_two_level
 
-            prec = build_two_level(p, fine)
+            prec = build_two_level(p)
     if mesh is not None:
         from .core.mesh import shard_batched
 

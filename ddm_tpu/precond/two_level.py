@@ -68,15 +68,29 @@ def build_coarse_space(p, cs_type: str, ptree: ParamTree, fine=None):
     raise ValueError(f"Unknown coarse space type '{cs_type}'")
 
 
+# coarse spaces whose construction REUSES the fine level's explicit inverse
+# (ring extensions, coarse/extension.py:inverse_harmonic_extension) — these
+# need the fine preconditioner built first; all others build the coarse
+# basis BEFORE the fine factorization so the peak HBM holds either the GEVP
+# pencils or the fine inverse, never both (measured r4: at 3-D bench scale
+# each (512, 1000, 1000) f64 batch is 4.1 GB and inverse + A_dir + B_neu +
+# A_neu exceeded the 15.75 GB chip)
+_CS_NEEDS_FINE = {"geneo_ring", "msgfem_ring"}
+
+
 def build_two_level(p, fine: SchwarzPreconditioner | None = None):
     """p: api.DDMProblem.  Returns the combined two-level preconditioner."""
     ptree = p.ptree
     cs_type = ptree.sub("coarsespace").get("type", "geneo")
+    if cs_type == "none":
+        return fine if fine is not None else build_schwarz(
+            p.A, p.topo, p.pou, ptree
+        )
+    if fine is None and cs_type in _CS_NEEDS_FINE:
+        fine = build_schwarz(p.A, p.topo, p.pou, ptree)
+    basis = build_coarse_space(p, cs_type, ptree, fine=fine)
     if fine is None:
         fine = build_schwarz(p.A, p.topo, p.pou, ptree)
-    if cs_type == "none":
-        return fine
-    basis = build_coarse_space(p, cs_type, ptree, fine=fine)
     coarse_ptree = ptree if "coarse_solver.type" in ptree else None
     # every coarse space built here is POU-finalized (vanishes on subdomain
     # boundaries), so the pairwise-local coarse matrix is exact — and ~100x
