@@ -119,10 +119,20 @@ def neumann_matrices(p, region_b: str = "overlap", method: str = "auto"):
             p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
         ) > 0
         pad = ~batched(topo.valid)
-        A_neu = eliminate_dirichlet_dense(
-            A_neu, dmask_sub, unit_diag_padding=pad
-        )
-        B_neu = eliminate_dirichlet_dense(B_neu, dmask_sub)
+        if B_neu is A_neu:
+            # region_b == "all" aliases the two; the elimination DONATES its
+            # input (in-place, subassembly.py), so eliminate the shared
+            # buffer once (B's variant) and add A's extra padding diagonal
+            # on a fresh array
+            B_neu = eliminate_dirichlet_dense(B_neu, dmask_sub)
+            A_neu = B_neu + jnp.eye(B_neu.shape[-1], dtype=B_neu.dtype)[
+                None
+            ] * pad[:, :, None].astype(B_neu.dtype)
+        else:
+            A_neu = eliminate_dirichlet_dense(
+                A_neu, dmask_sub, unit_diag_padding=pad
+            )
+            B_neu = eliminate_dirichlet_dense(B_neu, dmask_sub)
         hard_sync(A_neu, B_neu)
     return A_neu, B_neu
 

@@ -207,7 +207,22 @@ def eliminate_dirichlet_dense(
     dmask_sub: (n_sub, n_pad) bool.  unit_diag_padding: optional (n_sub,
     n_pad) bool mask of slots that additionally get a unit diagonal (padding
     slots, so factorizations are well-posed).
+
+    On concrete arrays this dispatches through a DONATED jit — the batch is
+    rewritten in place instead of materializing a second copy (4.1 GB at
+    3-D bench scale, where the eager where+add OOMed with A_neu and B_neu
+    both live; measured r4).
     """
+    import jax
+
+    if not isinstance(A, jax.core.Tracer) and jax.default_backend() != "cpu":
+        if unit_diag_padding is None:
+            return _elim_jit2()(A, dmask_sub)
+        return _elim_jit3()(A, dmask_sub, unit_diag_padding)
+    return _elim_impl(A, dmask_sub, unit_diag_padding)
+
+
+def _elim_impl(A, dmask_sub, unit_diag_padding):
     d = dmask_sub.astype(bool)
     keep = ~(d[:, :, None] | d[:, None, :])
     A = jnp.where(keep, A, 0.0)
@@ -218,6 +233,26 @@ def eliminate_dirichlet_dense(
         diag_one = diag_one | unit_diag_padding
     A = A + eye[None] * diag_one[:, :, None].astype(A.dtype)
     return A
+
+
+def _elim_jit2():
+    import jax
+
+    global _ELIM2
+    if "_ELIM2" not in globals():
+        _ELIM2 = jax.jit(
+            lambda A, d: _elim_impl(A, d, None), donate_argnums=0
+        )
+    return _ELIM2
+
+
+def _elim_jit3():
+    import jax
+
+    global _ELIM3
+    if "_ELIM3" not in globals():
+        _ELIM3 = jax.jit(_elim_impl, donate_argnums=0)
+    return _ELIM3
 
 
 def scale_matrix_with_pou(C: jnp.ndarray, pou: jnp.ndarray) -> jnp.ndarray:

@@ -170,3 +170,33 @@ def test_chunked_element_assembly_matches_one_shot(monkeypatch):
     np.testing.assert_allclose(np.asarray(K1), np.asarray(K0),
                                rtol=1e-13, atol=1e-13 * float(jnp.abs(K0).max()))
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f0))
+
+
+def test_eliminate_dirichlet_dense_jit_matches_impl():
+    """The donated-jit elimination path (engaged on non-CPU backends to
+    rewrite the batch in place, r4) computes exactly what the eager impl
+    does."""
+    from ddm_tpu.fem.subassembly import (
+        _elim_impl,
+        _elim_jit2,
+        _elim_jit3,
+        eliminate_dirichlet_dense,
+    )
+
+    rng = np.random.default_rng(7)
+    A = jnp.asarray(rng.standard_normal((3, 10, 10)))
+    d = jnp.asarray(rng.random((3, 10)) < 0.3)
+    pad = jnp.asarray(rng.random((3, 10)) < 0.2)
+    ref2 = _elim_impl(A, d, None)
+    ref3 = _elim_impl(A, d, pad)
+    # donation deletes the jit input — pass fresh copies, as the real
+    # callers do (they rebind the name and never reuse the input)
+    np.testing.assert_array_equal(np.asarray(_elim_jit2()(jnp.array(A), d)),
+                                  np.asarray(ref2))
+    np.testing.assert_array_equal(
+        np.asarray(_elim_jit3()(jnp.array(A), d, pad)), np.asarray(ref3)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eliminate_dirichlet_dense(jnp.array(A), d, pad)),
+        np.asarray(ref3),
+    )
