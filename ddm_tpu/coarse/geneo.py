@@ -339,7 +339,9 @@ def geneo_coarse_space(
         B = A_dir
     else:
         A_neu, B = neumann_matrices(p)
-    C = scale_matrix_with_pou(B, pou)
+    # donate: B is not used past this point (12.3 GB of live batches
+    # otherwise at 3-D bench scale, r4)
+    C = scale_matrix_with_pou(B, pou, donate=not algebraic)
     spd = (not algebraic) and getattr(p.disc, "definite", True)
     from ..eigen import solve_gevp
     from ..obs.logger import hard_sync, scoped

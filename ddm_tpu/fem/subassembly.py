@@ -255,7 +255,24 @@ def _elim_jit3():
     return _ELIM3
 
 
-def scale_matrix_with_pou(C: jnp.ndarray, pou: jnp.ndarray) -> jnp.ndarray:
+def scale_matrix_with_pou(
+    C: jnp.ndarray, pou: jnp.ndarray, donate: bool = False
+) -> jnp.ndarray:
     """C[i][j] *= pou[i]*pou[j] (reference: detail::scale_matrix_with_pou,
-    coarse_spaces.hh:74-96) — dense batched version."""
+    coarse_spaces.hh:74-96) — dense batched version.
+
+    donate=True rewrites C in place through a donated jit (the caller must
+    not reuse C): the eager form holds input + intermediate + output — 3
+    batch-sized arrays, 12.3 GB at 3-D bench scale (r4)."""
+    import jax
+
+    if donate and not isinstance(C, jax.core.Tracer) \
+            and jax.default_backend() != "cpu":
+        global _POU_SCALE_JIT
+        if "_POU_SCALE_JIT" not in globals():
+            _POU_SCALE_JIT = jax.jit(
+                lambda c, w: c * w[:, :, None] * w[:, None, :],
+                donate_argnums=0,
+            )
+        return _POU_SCALE_JIT(C, pou)
     return C * pou[:, :, None] * pou[:, None, :]
