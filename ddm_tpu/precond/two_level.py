@@ -89,8 +89,6 @@ def build_two_level(p, fine: SchwarzPreconditioner | None = None):
     if fine is None and cs_type in _CS_NEEDS_FINE:
         fine = build_schwarz(p.A, p.topo, p.pou, ptree)
     basis = build_coarse_space(p, cs_type, ptree, fine=fine)
-    if fine is None:
-        fine = build_schwarz(p.A, p.topo, p.pou, ptree)
     coarse_ptree = ptree if "coarse_solver.type" in ptree else None
     # every coarse space built here is POU-finalized (vanishes on subdomain
     # boundaries), so the pairwise-local coarse matrix is exact — and ~100x
@@ -101,5 +99,10 @@ def build_two_level(p, fine: SchwarzPreconditioner | None = None):
     if method == "pairs" and not basis.boundary_vanishing:
         method = "global"
     coarse = build_galerkin(p.A, p.topo, basis, coarse_ptree, method=method)
+    if fine is None:
+        # the fine factorization comes LAST: the pairs coarse matrix needs
+        # a dense-batch extraction of its own, and holding the fine
+        # explicit inverse next to it exceeded HBM at 3-D bench scale (r4)
+        fine = build_schwarz(p.A, p.topo, p.pou, ptree)
     op = p.A if ptree.sub("combined_preconditioner").get("mode", "additive") == "multiplicative" else None
     return build_combined([fine, coarse], ptree, op=op)
