@@ -116,7 +116,14 @@ def build_problem(gridsize, parts, overlap, nev, dim=2):
                          parts=(parts,) * dim)
 
 
-def run_tpu(p, nev, attempts=2, tag=""):
+def run_tpu(p, nev, attempts=None, tag=""):
+    if attempts is None:
+        # DDM_BENCH_ATTEMPTS=1 for memory-tight configs (the axon backend's
+        # value-memoization can pin first-attempt buffers across attempts);
+        # a SECOND bench process is then the warm measurement — the
+        # persistent compile cache makes its compiles warm while HBM starts
+        # fresh
+        attempts = int(os.environ.get("DDM_BENCH_ATTEMPTS", "2"))
     import jax
     import jax.numpy as jnp
 
