@@ -227,6 +227,27 @@ def _worker_main(conn, Asp, b_unused, sub_ids, sub_pou, A_neu_k, C_k, nev):
             return
 
 
+
+def _baseline_gevp_mats(p):
+    """Host numpy (A_neu, C) for the CPU baselines, computed ONCE right
+    after the problem build: recomputing them after the TPU attempts OOMs
+    on memory-tight configs (the backend's value-memoization pins earlier
+    attempts' buffers; measured r4 at the 3-D bench).  Cached on the
+    problem object."""
+    cached = getattr(p, "_baseline_mats", None)
+    if cached is not None:
+        return cached
+    import jax.numpy as jnp
+    from ddm_tpu.coarse.geneo import neumann_matrices
+    from ddm_tpu.fem.subassembly import scale_matrix_with_pou
+
+    A_neu_d, B_neu_d = neumann_matrices(p)
+    C_d = scale_matrix_with_pou(B_neu_d, jnp.asarray(p.pou))
+    mats = (np.asarray(A_neu_d), np.asarray(C_d))
+    object.__setattr__(p, "_baseline_mats", mats)
+    return mats
+
+
 def run_cpu_baseline_parallel(p, nev, n_workers=None):
     """The reference's deployment model emulated honestly: subdomain work
     (factorization, GEVPs, per-iteration solves + coarse dots) distributed
@@ -249,10 +270,7 @@ def run_cpu_baseline_parallel(p, nev, n_workers=None):
     topo = p.topo
     n = Asp.shape[0]
 
-    A_neu_d, B_neu_d = neumann_matrices(p)
-    C_d = scale_matrix_with_pou(B_neu_d, jnp.asarray(p.pou))
-    A_neu = np.asarray(A_neu_d)
-    C = np.asarray(C_d)
+    A_neu, C = _baseline_gevp_mats(p)
 
     # chunk subdomains over workers
     chunks = np.array_split(np.arange(topo.n_sub), n_workers)
@@ -358,10 +376,7 @@ def run_cpu_baseline(p, nev):
     # Neumann matrices: reuse the (device-assembled) element sums; the
     # reference assembles these during FEM assembly, so their cost is not
     # charged to either side.
-    A_neu_d, B_neu_d = neumann_matrices(p)
-    C_d = scale_matrix_with_pou(B_neu_d, jnp.asarray(p.pou))
-    A_neu = np.asarray(A_neu_d)
-    C = np.asarray(C_d)
+    A_neu, C = _baseline_gevp_mats(p)
 
     t0 = time.perf_counter()
     lus, subids, pou_rows = [], [], []
@@ -448,6 +463,10 @@ def main():
     t0 = time.perf_counter()
     p = build_problem(gridsize, parts, overlap, nev, dim=dim)
     host_setup_s = time.perf_counter() - t0
+    # the CPU baselines' GEVP matrices download now, while HBM is empty
+    # (not charged to either side — the reference assembles them during FEM
+    # assembly)
+    _baseline_gevp_mats(p)
     log(f"host setup: {host_setup_s:.3f}s; n={p.disc.n_dofs} "
         f"n_sub={p.topo.n_sub} n_pad={p.topo.n_pad}")
 
