@@ -242,8 +242,14 @@ def _baseline_gevp_mats(p):
     from ddm_tpu.fem.subassembly import scale_matrix_with_pou
 
     A_neu_d, B_neu_d = neumann_matrices(p)
-    C_d = scale_matrix_with_pou(B_neu_d, jnp.asarray(p.pou))
-    mats = (np.asarray(A_neu_d), np.asarray(C_d))
+    # download A first, then donate B into the POU scaling: at 3-D bench
+    # scale a non-donated scale would hold 4 batch-sized buffers (r4 OOM)
+    A_neu = np.asarray(A_neu_d.reshape(-1)).reshape(A_neu_d.shape)
+    del A_neu_d
+    C_d = scale_matrix_with_pou(B_neu_d, jnp.asarray(p.pou), donate=True)
+    del B_neu_d
+    C = np.asarray(C_d.reshape(-1)).reshape(C_d.shape)
+    mats = (A_neu, C)
     object.__setattr__(p, "_baseline_mats", mats)
     return mats
 
