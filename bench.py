@@ -107,6 +107,10 @@ def build_problem(gridsize, parts, overlap, nev, dim=2):
                 continue
         log(f"override: {k} = {v!r}")
         pt[k.strip()] = v
+    if dim == 3:
+        # memory-tight: each (512, 1000, 1000) f64 batch is 4.1 GB; the
+        # measured-good slab size for the setup pipelines (r4)
+        os.environ.setdefault("DDM_TPU_BATCH_CHUNK", "24")
     # DDM_BENCH_DIM=3 runs the 3-D hex analogue of BASELINE config 2
     # (3-D GenEO-RAS, reference poisson.ini): same islands coefficient
     # (x,y-dependent, z-extruded), 27-point stencil ELL, N-D box canvas
