@@ -110,10 +110,16 @@ def neumann_matrices(p, region_b: str = "overlap", method: str = "auto"):
                     )
 
             # same variables as the global operator (Jacobi equilibration is
-            # a congruence: scale rows+cols by the gathered scale vector)
+            # a congruence: scale rows+cols by the gathered scale vector);
+            # donated in-place scaling — the eager form held 4 batch-sized
+            # buffers and OOMed the unstructured audit (r4, n_pad 1760)
             if s_sub is not None:
-                A_neu = A_neu * s_sub[:, :, None] * s_sub[:, None, :]
-                B_neu = B_neu * s_sub[:, :, None] * s_sub[:, None, :]
+                if B_neu is A_neu:
+                    A_neu = scale_matrix_with_pou(A_neu, s_sub, donate=True)
+                    B_neu = A_neu
+                else:
+                    A_neu = scale_matrix_with_pou(A_neu, s_sub, donate=True)
+                    B_neu = scale_matrix_with_pou(B_neu, s_sub, donate=True)
 
         dmask_sub = gather_subdomain(
             p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
@@ -276,7 +282,7 @@ def region_neumann(p, dof_mask, method: str = "auto"):
             )
             A = A + neumann_dense(K, batched(se), batched(sl), topo.n_pad)
         if s_sub is not None:
-            A = A * s_sub[:, :, None] * s_sub[:, None, :]
+            A = scale_matrix_with_pou(A, s_sub, donate=True)
     dmask_sub = gather_subdomain(
         p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
     ) > 0
