@@ -90,36 +90,34 @@ def neumann_matrices(p, region_b: str = "overlap", method: str = "auto"):
             if region_b == "all":
                 B_neu = A_neu
         else:
-            A_neu = jnp.zeros((topo.n_sub, topo.n_pad, topo.n_pad))
+            # the WHOLE stamp-sum assembly (both accumulations + the
+            # congruence scaling) runs as ONE jitted program: an eager
+            # chain of batch-sized ops leaves every intermediate pinned by
+            # the backend's value-memoization and OOMed the unstructured
+            # audit (r4, n_pad 1760); inside one executable XLA reuses the
+            # buffers
+            Ks, ses, sls = [], [], []
             for dofs, K in groups:
                 sub_e, sub_l = subdomain_stamp_lists(dofs, topo)
-                A_neu = A_neu + neumann_dense(
-                    K, batched(sub_e), batched(sub_l), topo.n_pad
-                )
-            if region_b == "all":
-                B_neu = A_neu
-            else:
+                Ks.append(K)
+                ses.append(batched(sub_e))
+                sls.append(batched(sub_l))
+            ses2 = sls2 = None
+            if region_b != "all":
                 ovlp_mask = topo.bdist <= 2 * topo.overlap
-                B_neu = jnp.zeros_like(A_neu)
+                ses2, sls2 = [], []
                 for dofs, K in groups:
                     sub_e2, sub_l2 = subdomain_stamp_lists(
                         dofs, topo, dof_mask=ovlp_mask
                     )
-                    B_neu = B_neu + neumann_dense(
-                        K, batched(sub_e2), batched(sub_l2), topo.n_pad
-                    )
-
-            # same variables as the global operator (Jacobi equilibration is
-            # a congruence: scale rows+cols by the gathered scale vector);
-            # donated in-place scaling — the eager form held 4 batch-sized
-            # buffers and OOMed the unstructured audit (r4, n_pad 1760)
-            if s_sub is not None:
-                if B_neu is A_neu:
-                    A_neu = scale_matrix_with_pou(A_neu, s_sub, donate=True)
-                    B_neu = A_neu
-                else:
-                    A_neu = scale_matrix_with_pou(A_neu, s_sub, donate=True)
-                    B_neu = scale_matrix_with_pou(B_neu, s_sub, donate=True)
+                    ses2.append(batched(sub_e2))
+                    sls2.append(batched(sub_l2))
+            A_neu, B_neu = _neumann_sum_jit()(
+                tuple(Ks), tuple(ses), tuple(sls), ses2 and tuple(ses2),
+                sls2 and tuple(sls2), s_sub, topo.n_sub, topo.n_pad,
+            )
+            if B_neu is None:
+                B_neu = A_neu
 
         dmask_sub = gather_subdomain(
             p.disc.dirichlet_mask.astype(jnp.float64), batched(topo.sub2glob)
@@ -141,6 +139,36 @@ def neumann_matrices(p, region_b: str = "overlap", method: str = "auto"):
             B_neu = eliminate_dirichlet_dense(B_neu, dmask_sub)
         hard_sync(A_neu, B_neu)
     return A_neu, B_neu
+
+
+def _neumann_sum_jit():
+    """One jitted program for the stamp-sum Neumann assembly: both
+    accumulations + the equilibration congruence (see the call site for the
+    memory rationale)."""
+    import jax
+    from functools import partial
+
+    global _NEU_SUM_JIT
+    if "_NEU_SUM_JIT" not in globals():
+
+        @partial(jax.jit, static_argnums=(6, 7))
+        def f(Ks, ses, sls, ses2, sls2, s_sub, n_sub, n_pad):
+            A = jnp.zeros((n_sub, n_pad, n_pad))
+            for K, se, sl in zip(Ks, ses, sls):
+                A = A + neumann_dense(K, se, sl, n_pad)
+            B = None
+            if ses2 is not None:
+                B = jnp.zeros_like(A)
+                for K, se, sl in zip(Ks, ses2, sls2):
+                    B = B + neumann_dense(K, se, sl, n_pad)
+            if s_sub is not None:
+                A = A * s_sub[:, :, None] * s_sub[:, None, :]
+                if B is not None:
+                    B = B * s_sub[:, :, None] * s_sub[:, None, :]
+            return A, B
+
+        _NEU_SUM_JIT = f
+    return _NEU_SUM_JIT
 
 
 def dirichlet_mask_sub(p):
