@@ -150,15 +150,27 @@ def extract_subdomain_dense(
         from ..solvers.direct import batch_chunk_size, chunked_batch
 
         chunk = batch_chunk_size(n_pad, 8, live_buffers=6)
-        fn = lambda s, v, lc: _general_extract_slab(  # noqa: E731
+        fn = lambda s, v, lc: _general_slab_jit()(  # noqa: E731
             ell, s, v, lc, bool(unit_padding_diag)
         )
         return batched(chunked_batch(
             fn, sub2glob, valid, local_cols, chunk=chunk,
         ))
-    return _general_extract_slab(
+    return _general_slab_jit()(
         ell, sub2glob, valid, local_cols, bool(unit_padding_diag)
     )
+
+
+def _general_slab_jit():
+    """Jitted general extraction: run eagerly, each batch-sized
+    intermediate of the scatter chain stays pinned by the backend's
+    value-memoization (measured r4, unstructured audit)."""
+    import jax
+
+    global _GEN_SLAB_JIT
+    if "_GEN_SLAB_JIT" not in globals():
+        _GEN_SLAB_JIT = jax.jit(_general_extract_slab, static_argnums=4)
+    return _GEN_SLAB_JIT
 
 
 def _general_extract_slab(ell, sub2glob, valid, local_cols,
