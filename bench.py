@@ -127,7 +127,7 @@ def run_tpu(p, nev, attempts=None, tag=""):
         # a SECOND bench process is then the warm measurement — the
         # persistent compile cache makes its compiles warm while HBM starts
         # fresh
-        attempts = int(os.environ.get("DDM_BENCH_ATTEMPTS", "2"))
+        attempts = max(1, int(os.environ.get("DDM_BENCH_ATTEMPTS", "2")))
     import jax
     import jax.numpy as jnp
 
@@ -174,7 +174,7 @@ def run_tpu(p, nev, attempts=None, tag=""):
     from ddm_tpu.obs.logger import Logger
 
     log(Logger.get().report())
-    timings["cold"] = all_timings[0]
+    timings["cold"] = dict(all_timings[0])
     return timings
 
 

@@ -315,8 +315,15 @@ def box_offset_decomp(offsets, meta: BoxMeta):
         if rem != 0:
             return None
         lim_fast = max(4, meta.tile[-1] // 4)
+        # 2|st| < dims[ax] makes the round-to-nearest decomposition the
+        # unique small-step representative — without it a true fastest-axis
+        # step |s0| > dims[-1]/2 (tiny folded fastest dim) aliases to
+        # (s1+1, s0-D0), whose canvas-local offset differs when
+        # tile != dims and entries would land at wrong local positions
         ok = abs(steps[-1]) <= lim_fast and all(
-            -meta.tile[ax] < steps[ax] < meta.tile[ax] for ax in range(nd)
+            -meta.tile[ax] < steps[ax] < meta.tile[ax]
+            and 2 * abs(steps[ax]) < meta.dims[ax]
+            for ax in range(nd)
         )
         if not ok:
             return None

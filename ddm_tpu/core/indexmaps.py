@@ -126,6 +126,8 @@ class DDMTopology:
         k = np.asarray(sub_idx, dtype=np.int64)
         g = np.asarray(glob_ids, dtype=np.int64)
         key = k * (self.n_glob + 1) + g
+        if self.g2l_keys.size == 0:
+            return np.full(key.shape, -1, dtype=np.int32)
         pos = np.searchsorted(self.g2l_keys, key)
         pos = np.minimum(pos, max(self.g2l_keys.size - 1, 0))
         hit = self.g2l_keys[pos] == key

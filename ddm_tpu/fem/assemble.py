@@ -273,16 +273,22 @@ def _elem_chunk(quad: ElementQuadrature, xe, factor: int = 1) -> int | None:
     return max(1024, budget // per)
 
 
-def _chunked_elements(body, xe: jnp.ndarray, chunk: int):
-    """Run ``body`` (xe_slab -> pytree of (n_slab, ...) arrays) over the
+def _chunked_elements(body, args, chunk: int):
+    """Run ``body`` (slab pytree -> pytree of (n_slab, ...) arrays) over the
     element batch in ``chunk``-sized slabs via ``lax.map`` (one compile,
-    slab-sized temporaries).  Padding repeats the last element — valid
-    geometry, so no NaN/inf leaks — and is sliced off the outputs."""
-    n_e = xe.shape[0]
+    slab-sized temporaries).  ``args`` is a pytree of (n_e, ...) arrays
+    (``None`` entries pass through to the body unchanged).  Padding repeats
+    the last element — valid geometry, so no NaN/inf leaks — and is sliced
+    off the outputs."""
+    n_e = jax.tree_util.tree_leaves(args)[0].shape[0]
     k = -(-n_e // chunk)
     pad = k * chunk - n_e
-    xp = jnp.concatenate([xe, jnp.repeat(xe[-1:], pad, axis=0)]) if pad else xe
-    out = jax.lax.map(body, xp.reshape((k, chunk) + xe.shape[1:]))
+
+    def prep(a):
+        ap = jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)]) if pad else a
+        return ap.reshape((k, chunk) + a.shape[1:])
+
+    out = jax.lax.map(body, jax.tree_util.tree_map(prep, args))
     return jax.tree_util.tree_map(
         lambda a: a.reshape((k * chunk,) + a.shape[2:])[:n_e], out
     )
@@ -309,18 +315,35 @@ def assemble_convection_diffusion(
     """
     chunk = _elem_chunk(quad, xe)
     if chunk is not None:
+        # Coefficients are evaluated ONCE, eagerly, on the full
+        # quadrature-point batch (so the CPU backend-stable path in
+        # eval_coefficient still applies — inside lax.map xq would be a
+        # tracer and coefficients would silently run on the TPU's non-IEEE
+        # emulated f64).  Only the geometry/einsum stages are chunked; the
+        # (n_e, q[, d]) coefficient arrays are small.
+        xq = jnp.einsum("qi,eid->eqd", quad.phi, xe)
+        coeffs = tuple(
+            eval_coefficient(fn, xq) for fn in (alpha_fn, b_fn, c_fn, f_fn)
+        )
         return _chunked_elements(
-            lambda xs: assemble_convection_diffusion(
-                quad, xs, alpha_fn, b_fn, c_fn, f_fn,
-                convection_divergence_form,
-            ),
-            xe, chunk,
+            lambda s: _cd_terms(quad, s[0], *s[1:], convection_divergence_form),
+            (xe,) + coeffs, chunk,
         )
     xq, grads, jxw = element_geometry(quad, xe)
-    alpha = eval_coefficient(alpha_fn, xq)  # (n_e, q)
+    coeffs = tuple(
+        eval_coefficient(fn, xq) for fn in (alpha_fn, b_fn, c_fn, f_fn)
+    )
+    return _cd_terms(quad, xe, *coeffs, convection_divergence_form,
+                     geom=(grads, jxw))
+
+
+def _cd_terms(quad, xe, alpha, b, c, f, convection_divergence_form,
+              geom=None):
+    """Einsum stages of the convection-diffusion assembly, taking concrete
+    per-quadrature-point coefficient VALUE arrays (None = term absent)."""
+    grads, jxw = geom if geom is not None else element_geometry(quad, xe)[1:]
     Ke = jnp.einsum("eq,eqig,eqjg->eij", jxw * alpha, grads, grads)
-    if b_fn is not None:
-        b = eval_coefficient(b_fn, xq)  # (n_e, q, d)
+    if b is not None:
         if convection_divergence_form:
             # - u_j (b . grad v_i)
             Ke = Ke - jnp.einsum(
@@ -329,11 +352,9 @@ def assemble_convection_diffusion(
         else:
             # + (b . grad u_j) v_i
             Ke = Ke + jnp.einsum("eq,qi,eqd,eqjd->eij", jxw, quad.phi, b, grads)
-    if c_fn is not None:
-        c = eval_coefficient(c_fn, xq)
+    if c is not None:
         Ke = Ke + jnp.einsum("eq,qi,qj->eij", jxw * c, quad.phi, quad.phi)
-    if f_fn is not None:
-        f = eval_coefficient(f_fn, xq)
+    if f is not None:
         fe = jnp.einsum("eq,qi->ei", jxw * f, quad.phi)
     else:
         fe = jnp.zeros(Ke.shape[:2], Ke.dtype)
@@ -360,16 +381,28 @@ def assemble_linear_elasticity(
     # the scalar assembler's grads stream
     chunk = _elem_chunk(quad, xe, factor=xe.shape[1] * xe.shape[2])
     if chunk is not None:
+        # eager full-batch coefficient evaluation (backend-stable CPU path);
+        # chunk only the geometry/einsum stages — see the scalar assembler
+        xq = jnp.einsum("qi,eid->eqd", quad.phi, xe)
+        lam = eval_coefficient(lame_lambda_fn, xq)
+        mu = eval_coefficient(lame_mu_fn, xq)
+        f = eval_coefficient(f_fn, xq)
         return _chunked_elements(
-            lambda xs: assemble_linear_elasticity(
-                quad, xs, lame_lambda_fn, lame_mu_fn, f_fn
-            ),
-            xe, chunk,
+            lambda s: _elasticity_terms(quad, *s),
+            (xe, lam, mu, f), chunk,
         )
     xq, grads, jxw = element_geometry(quad, xe)
-    n_e, q, nd, d = grads.shape
     lam = eval_coefficient(lame_lambda_fn, xq)  # (n_e, q)
     mu = eval_coefficient(lame_mu_fn, xq)
+    f = eval_coefficient(f_fn, xq)
+    return _elasticity_terms(quad, xe, lam, mu, f, geom=(grads, jxw))
+
+
+def _elasticity_terms(quad, xe, lam, mu, f, geom=None):
+    """Einsum stages of the elasticity assembly on concrete coefficient
+    value arrays (None f = zero load)."""
+    grads, jxw = geom if geom is not None else element_geometry(quad, xe)[1:]
+    n_e, q, nd, d = grads.shape
 
     # div(phi_ic) = grads[:,:,i,c]; eps(u_ic):eps(v_jk):
     # 0.5*(grad_c phi_i e_c + ...) contraction works out to
@@ -388,8 +421,7 @@ def assemble_linear_elasticity(
     )
     # reorder (i, k; j, c) -> rows (i*d + k), cols (j*d + c)
     Ke = Kfull.transpose(0, 1, 4, 2, 3).reshape(n_e, nd * d, nd * d)
-    if f_fn is not None:
-        f = eval_coefficient(f_fn, xq)  # (n_e, q, d)
+    if f is not None:
         fe = jnp.einsum("eq,qi,eqc->eic", jxw, quad.phi, f).reshape(n_e, nd * d)
     else:
         fe = jnp.zeros((n_e, nd * d), Ke.dtype)
