@@ -54,7 +54,16 @@ def build_problem(gridsize, parts, overlap, nev, dim=2):
     # default full-GenEO algorithm, so the comparison stays
     # reference-default vs our best config; set DDM_BENCH_COARSE=geneo for
     # the like-for-like algorithm comparison.
-    cs = os.environ.get("DDM_BENCH_COARSE", "geneo_ring")
+    # Second bench pipeline (VERDICT r4 item 4): DDM_BENCH_PROBLEM=elasticity
+    # runs the vector-valued steel-rubber config (reference:
+    # linearelasticity.cc:27-159) at >=100k dofs — exercises the vector
+    # (n_comp=2) canvas, the elasticity assembler and the rigid-body-mode
+    # GEVP at scale.  The reference drives elasticity with full GenEO, so
+    # the elasticity default coarse space is geneo (still overridable).
+    problem_kind = os.environ.get("DDM_BENCH_PROBLEM", "poisson")
+    cs = os.environ.get(
+        "DDM_BENCH_COARSE",
+        "geneo" if problem_kind == "elasticity" else "geneo_ring")
     pt["coarsespace.type"] = cs
     pt["coarse_solver.type"] = "cholesky"
     pt[f"{cs}.eigensolver.nev"] = nev
@@ -115,6 +124,13 @@ def build_problem(gridsize, parts, overlap, nev, dim=2):
     # (3-D GenEO-RAS, reference poisson.ini): same islands coefficient
     # (x,y-dependent, z-extruded), 27-point stencil ELL, N-D box canvas
     # (core/boxnd.py) for the extraction/gather/scatter fast paths
+    if problem_kind == "elasticity":
+        extent = (3.0, 1.0) if dim == 2 else (3.0, 1.0, 1.5)
+        grid = structured_grid((gridsize,) * dim, (0,) * dim, extent)
+        prob = (pm.steel_rubber_2d() if dim == 2
+                else pm.steel_rubber_bar())
+        return setup_problem(pt, problem=prob, grid=grid,
+                             parts=(parts,) * dim, n_comp=dim)
     grid = structured_grid((gridsize,) * dim)
     return setup_problem(pt, problem=pm.islands(), grid=grid,
                          parts=(parts,) * dim)
@@ -464,8 +480,13 @@ def run_cpu_baseline(p, nev):
 
 def main():
     dim = int(os.environ.get("DDM_BENCH_DIM", "2"))
-    gridsize = int(os.environ.get("DDM_BENCH_GRIDSIZE",
-                                  "384" if dim == 2 else "56"))
+    problem_kind = os.environ.get("DDM_BENCH_PROBLEM", "poisson")
+    # elasticity default 256^2 x 2 comps = 132k dofs: same n_pad class as
+    # the Poisson headline (tile 21 x 42 -> 882) at 256 subdomains
+    grid_default = "384" if dim == 2 else "56"
+    if problem_kind == "elasticity":
+        grid_default = "256" if dim == 2 else "40"
+    gridsize = int(os.environ.get("DDM_BENCH_GRIDSIZE", grid_default))
     parts = int(os.environ.get("DDM_BENCH_PARTS", "16" if dim == 2 else "8"))
     overlap = int(os.environ.get("DDM_BENCH_OVERLAP", "2"))
     nev = int(os.environ.get("DDM_BENCH_NEV", "8"))
@@ -488,7 +509,9 @@ def main():
     # JSON artifact carries both ratios (reference-default-vs-our-best AND
     # algorithm-for-algorithm)
     tpu_geneo = None
-    cs = os.environ.get("DDM_BENCH_COARSE", "geneo_ring")
+    cs = os.environ.get(
+        "DDM_BENCH_COARSE",
+        "geneo" if problem_kind == "elasticity" else "geneo_ring")
     if cs != "geneo" and os.environ.get("DDM_BENCH_LIKE4LIKE", "1") != "0":
         import copy
         import dataclasses
@@ -526,8 +549,11 @@ def main():
     # only measures IPC overhead and would inflate the ratio).
     best_cpu = min(t for t, _ in cpu_totals.values())
     cold = tpu.get("cold", tpu)
+    metric_head = ("elasticity_steel_rubber_geneo_ras"
+                   if problem_kind == "elasticity"
+                   else "poisson_islands_geneo_ras")
     out = {
-        "metric": f"poisson_islands_geneo_ras_"
+        "metric": f"{metric_head}_"
                   f"{'x'.join([str(gridsize)] * dim)}_"
                   f"{parts ** dim}sub_setup_solve",
         "value": round(tpu_total, 4),

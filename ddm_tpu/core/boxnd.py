@@ -40,14 +40,22 @@ class BoxMeta:
     n_pad: int      # padded local size (>= prod(tile))
     margin: tuple   # padded-grid coordinate of dof 0 per axis
     padded: tuple   # padded grid dims per axis
-    g: tuple        # group strides (parity factors) per axis
-    pitch: tuple    # anchor pitch per axis
+    g: tuple        # number of anchor runs per axis (parity factors)
+    pitch: tuple    # min anchor spacing per axis (informational)
     nparts: tuple   # subdomain grid dims per axis
     base: tuple     # anchor of part 0 per axis, padded-grid coords
     # per-group: (counts per axis, window origin per axis, subdomain ids
-    # tiled row-major over the group's part grid)
+    # tiled row-major over the group's part grid, window stride per axis)
     groups: tuple
     perm: tuple     # inverse permutation to subdomain order
+    # per-subdomain valid box in tile coords, ((start per axis), (extent per
+    # axis)) nested tuples — EMPTY when no mask is needed.  With non-uniform
+    # partitions, interior boxes can be SMALLER than the tile, so their
+    # windows read real neighbouring dof values into invalid slots; the
+    # uniform-pitch case only ever read out-of-grid zeros there and needs
+    # no mask.
+    starts: tuple = ()
+    exts: tuple = ()
 
     @property
     def ndim(self) -> int:
@@ -89,11 +97,51 @@ def _subdomain_boxes(topo, dims):
     return lo, ext
 
 
+def _arith_runs(vals: np.ndarray, tile_d: int):
+    """Partition sorted anchor values into arithmetic runs whose common
+    difference is >= ``tile_d`` — windows within a run then tile disjointly,
+    which is all the slice/reshape group extraction needs.  Greedy
+    left-to-right; for uniform-pitch anchors this reproduces the classic
+    parity grouping (ceil(tile/pitch) runs), and for the near-uniform
+    anchors of non-divisible partitions (e.g. 54 dofs / 8 parts: deltas
+    7,7,...,6) it adds O(1) extra runs per axis.  Returns a list of
+    (anchor-index array, window stride)."""
+    runs: list = []  # [ [indices], stride or None ]
+    for i, v in enumerate(vals):
+        placed = False
+        for run in runs:
+            idxs, stride = run
+            d = int(v - vals[idxs[-1]])
+            if stride is None:
+                if d >= tile_d:
+                    idxs.append(i)
+                    run[1] = d
+                    placed = True
+                    break
+            elif d == stride:
+                idxs.append(i)
+                placed = True
+                break
+        if not placed:
+            runs.append([[i], None])
+    return [
+        (np.asarray(idxs, np.int64),
+         int(stride) if stride is not None else int(tile_d))
+        for idxs, stride in runs
+    ]
+
+
 def detect_box_layout(topo, dims, pad_to: int = 8) -> BoxMeta | None:
     """Host: check every subdomain of ``topo`` is an axis-aligned box of the
-    ``dims`` dof grid on uniform per-axis anchor pitches; returns the canvas
-    layout or None (-> general path).  N-D generalization of
-    structured.detect_rect_layout."""
+    ``dims`` dof grid; returns the canvas layout or None (-> general path).
+    N-D generalization of structured.detect_rect_layout.
+
+    Anchors need NOT be uniformly pitched (the reference accepts any
+    partition, poisson.cc:129-133): per axis, anchors are partitioned into
+    arithmetic runs (stride >= tile) and each run cross-product becomes one
+    slice/reshape group with its own window stride."""
+    import itertools
+
     dims = tuple(int(d) for d in dims)
     if int(np.prod(dims)) != topo.n_glob or topo.n_sub < 2:
         return None
@@ -112,12 +160,9 @@ def detect_box_layout(topo, dims, pad_to: int = 8) -> BoxMeta | None:
     for d in range(nd):
         vals = np.unique(anch[:, d])
         nparts[d] = vals.size
-        p = int(vals[1] - vals[0]) if vals.size > 1 else int(tile[d])
-        if p <= 0:
+        pitch[d] = int(np.diff(vals).min()) if vals.size > 1 else int(tile[d])
+        if pitch[d] <= 0:
             return None
-        if not np.array_equal(np.diff(vals), np.full(vals.size - 1, p)):
-            return None
-        pitch[d] = p
         vals_per_axis.append(vals)
     if int(np.prod(nparts)) != topo.n_sub:
         return None
@@ -131,38 +176,55 @@ def detect_box_layout(topo, dims, pad_to: int = 8) -> BoxMeta | None:
     if np.unique(flat).size != topo.n_sub:
         return None
 
-    g = np.maximum(-(-tile // pitch), 1)
-    G = g * pitch
+    runs_per_axis = [_arith_runs(vals_per_axis[d], int(tile[d]))
+                     for d in range(nd)]
+    # cap pathological partitions (anchors so irregular that the group
+    # count explodes): the canvas is only a win while groups stay few
+    if int(np.prod([len(r) for r in runs_per_axis])) > 128:
+        return None
     margin = np.maximum(0, -np.array([v[0] for v in vals_per_axis]))
-    padded = np.maximum(
-        np.array(dims) + margin,
-        np.array([int(v[-1]) for v in vals_per_axis]) + margin + G,
-    )
 
     lut = np.full(tuple(nparts), -1, dtype=np.int64)
     lut[tuple(gidx.T)] = np.arange(topo.n_sub)
     groups = []
     order = []
-    for u_flat in range(int(np.prod(g))):
-        u = np.unravel_index(u_flat, tuple(g))
-        rs = [np.arange(u[d], nparts[d], g[d]) for d in range(nd)]
-        if any(r.size == 0 for r in rs):
-            continue
+    padded = np.array(dims) + margin
+    for combo in itertools.product(*runs_per_axis):
+        rs = [idxs for idxs, _ in combo]
+        Gs = tuple(int(s) for _, s in combo)
         ks = lut[np.ix_(*rs)].reshape(-1)
         assert np.all(ks >= 0)
         org = tuple(int(vals_per_axis[d][rs[d][0]]) + int(margin[d])
                     for d in range(nd))
-        groups.append((tuple(int(r.size) for r in rs), org,
-                       tuple(int(x) for x in ks)))
+        counts = tuple(int(r.size) for r in rs)
+        padded = np.maximum(
+            padded, [org[d] + counts[d] * Gs[d] for d in range(nd)]
+        )
+        groups.append((counts, org, tuple(int(x) for x in ks), Gs))
         order.append(ks)
     order = np.concatenate(order)
     perm = np.argsort(order)
     n_pad = int(-(-int(np.prod(tile)) // pad_to) * pad_to)
+    # validity mask (see BoxMeta.starts): needed iff some box is short of
+    # the tile while real grid dofs continue past its high edge
+    starts_a = np.where(
+        (lo == 0) & (ext < tile[None, :]), tile[None, :] - ext, 0
+    )
+    dims_a = np.array(dims)
+    needs_mask = bool(
+        np.any((starts_a + ext < tile[None, :]) & (lo + ext < dims_a[None, :]))
+    )
+    starts_t = (tuple(tuple(int(x) for x in row) for row in starts_a)
+                if needs_mask else ())
+    exts_t = (tuple(tuple(int(x) for x in row) for row in ext)
+              if needs_mask else ())
     return BoxMeta(
+        starts=starts_t, exts=exts_t,
         dims=dims, tile=tuple(int(t) for t in tile), n_pad=n_pad,
         margin=tuple(int(m) for m in margin),
         padded=tuple(int(p) for p in padded),
-        g=tuple(int(x) for x in g), pitch=tuple(int(p) for p in pitch),
+        g=tuple(len(r) for r in runs_per_axis),
+        pitch=tuple(int(p) for p in pitch),
         nparts=tuple(int(p) for p in nparts),
         base=tuple(int(v[0]) + int(m) for v, m in
                    zip(vals_per_axis, margin)),
@@ -229,6 +291,34 @@ def relayout_box(topo, meta: BoxMeta):
 # -- device fast paths --------------------------------------------------------
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _box_valid_mask(meta: BoxMeta):
+    """(n_sub, n_pad) bool device constant marking each subdomain's valid
+    box within its tile, or None when ``meta`` carries no mask (uniform
+    layouts).  Cached per meta (metas are frozen/hashable)."""
+    if not meta.starts:
+        return None
+    nd = meta.ndim
+    tsize = int(np.prod(meta.tile))
+    coords = np.stack(np.unravel_index(np.arange(tsize), meta.tile), axis=1)
+    starts = np.asarray(meta.starts)  # (n_sub, nd)
+    exts = np.asarray(meta.exts)
+    ok = np.ones((starts.shape[0], tsize), bool)
+    for d in range(nd):
+        c = coords[None, :, d]
+        ok &= (c >= starts[:, d:d + 1]) & (c < starts[:, d:d + 1]
+                                           + exts[:, d:d + 1])
+    M = np.zeros((starts.shape[0], meta.n_pad), bool)
+    M[:, :tsize] = ok
+    # numpy, not jnp: this cache outlives any jit trace it is first built
+    # under (a cached tracer would leak); numpy operands enter jitted
+    # programs as constants
+    return M
+
+
 def box_gather(x: jnp.ndarray, meta: BoxMeta) -> jnp.ndarray:
     """Global (n,) -> (n_sub, n_pad) in canvas layout; pure layout
     transforms + one batch-row permutation (N-D rect_gather)."""
@@ -239,10 +329,9 @@ def box_gather(x: jnp.ndarray, meta: BoxMeta) -> jnp.ndarray:
         for d in range(nd)
     )
     xp = jnp.pad(x2, pads)
-    G = tuple(meta.g[d] * meta.pitch[d] for d in range(nd))
     tsize = int(np.prod(meta.tile))
     parts = []
-    for counts, org, _ks in meta.groups:
+    for counts, org, _ks, G in meta.groups:
         starts = org
         limits = tuple(org[d] + counts[d] * G[d] for d in range(nd))
         Wd = lax.slice(xp, starts, limits)
@@ -261,6 +350,9 @@ def box_gather(x: jnp.ndarray, meta: BoxMeta) -> jnp.ndarray:
     X = jnp.concatenate(parts, axis=0)[jnp.asarray(meta.perm)]
     if meta.n_pad > tsize:
         X = jnp.pad(X, ((0, 0), (0, meta.n_pad - tsize)))
+    M = _box_valid_mask(meta)
+    if M is not None:
+        X = X * M
     return X
 
 
@@ -268,11 +360,13 @@ def box_scatter_add(x_sub: jnp.ndarray, meta: BoxMeta) -> jnp.ndarray:
     """(n_sub, n_pad) canvas-layout -> global (n,) by summation — the exact
     adjoint of :func:`box_gather`."""
     nd = meta.ndim
-    G = tuple(meta.g[d] * meta.pitch[d] for d in range(nd))
     tsize = int(np.prod(meta.tile))
+    M = _box_valid_mask(meta)
+    if M is not None:
+        x_sub = x_sub * M
     X = x_sub[:, :tsize]
     acc = jnp.zeros(meta.padded, x_sub.dtype)
-    for counts, org, ks in meta.groups:
+    for counts, org, ks, G in meta.groups:
         T = X[jnp.asarray(ks)].reshape(tuple(counts) + tuple(meta.tile))
         pads = tuple([(0, 0)] * nd
                      + [(0, G[d] - meta.tile[d]) for d in range(nd)])

@@ -101,4 +101,15 @@ def _try_rect_relayout(topo, disc, pad_to):
         meta = detect_rect_layout(topo, dof_grid, pad_to=pad_to)
         if meta is not None:
             return relayout_rect(topo, meta)
+    # non-uniform anchor pitch (gridsize not divisible by parts): the 2-D
+    # rect detector requires a uniform pitch, but the N-D box canvas
+    # (core/boxnd.py) groups anchors into arithmetic runs and handles it —
+    # same fast-path family, a few more slice groups
+    from .boxnd import detect_box_layout, relayout_box
+
+    for dof_grid in ((shape[1] + 1, (shape[0] + 1) * nc),
+                     (shape[0] + 1, (shape[1] + 1) * nc)):
+        meta = detect_box_layout(topo, dof_grid, pad_to=pad_to)
+        if meta is not None:
+            return relayout_box(topo, meta)
     return topo

@@ -56,6 +56,27 @@ def tiled_take(xp: jnp.ndarray, idx: jnp.ndarray, tile: int = 128) -> jnp.ndarra
     return (rows * sel).sum(axis=-1)
 
 
+# measured r5 (scratch/unstr_spmv_probe2_r5.py, lshape refine-4 general ELL,
+# n=94593 m=8): general gather 11.6 ms/SpMV, tiled tile=32 6.6 ms, tile=128
+# 7.4 ms, tile=256 13.1 ms; two-stage selects are 10x WORSE (einsum select
+# hits the emulated-dot path).  tile=32 is the measured sweet spot.
+_TILED_TILE = int(os.environ.get("DDM_TILED_GATHER_TILE", "32"))
+
+
+def maybe_tiled_take(xp: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """1-D-operand gather: :func:`tiled_take` on TPU-class backends (where
+    plain 1-D gathers execute element-at-a-time, ~14 ns/element), the plain
+    gather on CPU (XLA:CPU gathers natively — the tiled formulation only
+    costs there).  Exact either way (pure data movement).
+    ``DDM_TILED_GATHER=0`` reverts to the plain gather everywhere."""
+    import jax
+
+    if (jax.default_backend() == "cpu"
+            or os.environ.get("DDM_TILED_GATHER", "1") == "0"):
+        return xp[idx]
+    return tiled_take(xp, idx, _TILED_TILE)
+
+
 @jax.tree_util.register_dataclass
 @dataclass
 class SparseELL:
@@ -95,7 +116,7 @@ class SparseELL:
     def _mv_general(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.ndim == 1:
             xp = jnp.concatenate([x, jnp.zeros((1,), x.dtype)])
-            return (self.valsT * xp[self.colsT]).sum(axis=0)
+            return (self.valsT * maybe_tiled_take(xp, self.colsT)).sum(axis=0)
         xp = jnp.concatenate([x, jnp.zeros((1, x.shape[1]), x.dtype)])
         # (m, n, k) gather; contract over m
         return jnp.einsum("mn,mnk->nk", self.valsT, xp[self.colsT])

@@ -245,6 +245,50 @@ def steel_rubber_bar() -> ElasticityProblem:
     )
 
 
+def steel_rubber_2d() -> ElasticityProblem:
+    """2-D cross-section analogue of :func:`steel_rubber_bar` (reference:
+    examples/coefficient.lua bars, reduced by one dimension): steel strips
+    (E=2e11, nu=0.3) at y = 0.25 / 0.75 in rubber (E=2e7, nu=0.45) on
+    [0,3]x[0,1], clamped at x=0, gravity load.  Same 1e4 stiffness contrast
+    as the 3-D bar — used by the elasticity bench config at >=100k dofs."""
+    bar_r = 0.04
+    bars_y = jnp.array([0.25, 0.75])
+
+    def in_bar(xq):
+        x, y = xq[..., 0], xq[..., 1]
+        near = (jnp.abs(y[..., None] - bars_y) <= bar_r).any(axis=-1)
+        return near & (x >= 0.0) & (x <= 3.0)
+
+    def young_nu(xq):
+        steel = in_bar(xq)
+        E = jnp.where(steel, 2e11, 2e7)
+        nu = jnp.where(steel, 0.3, 0.45)
+        return E, nu
+
+    def lam(xq):
+        E, nu = young_nu(xq)
+        return E * nu / (1.0 + nu) / (1.0 - 2.0 * nu)
+
+    def mu(xq):
+        E, nu = young_nu(xq)
+        return E / 2.0 / (1.0 + nu)
+
+    def f(xq):
+        shape = xq.shape[:-1]
+        return jnp.stack(
+            [jnp.zeros(shape), jnp.full(shape, -9.81 * 1e4)], axis=-1
+        )
+
+    return ElasticityProblem(
+        lam=lam,
+        mu=mu,
+        f=f,
+        g=lambda x: jnp.zeros(x.shape[:-1] + (2,)),
+        is_dirichlet=lambda x: x[..., 0] < 1e-9,
+        name="steel_rubber_2d",
+    )
+
+
 PROBLEMS = {
     "simple": simple,
     "beams": beams,

@@ -196,6 +196,13 @@ def gather_subdomain(x: jnp.ndarray, sub2glob: jnp.ndarray) -> jnp.ndarray:
     the device analogue of copyOwnerToAll restriction (schwarz.hh:122-125)."""
     pad_shape = (1,) + x.shape[1:]
     xp = jnp.concatenate([x, jnp.zeros(pad_shape, x.dtype)])
+    if x.ndim == 1:
+        # 1-D-operand gathers run element-at-a-time on TPU; the tiled
+        # row-gather formulation is ~1.7x (measured r5, CPU keeps the
+        # plain gather)
+        from ..core.sparse import maybe_tiled_take
+
+        return maybe_tiled_take(xp, sub2glob)
     return xp[sub2glob]
 
 
@@ -217,6 +224,10 @@ def scatter_add_subdomain_shard(
     flat = jax.lax.dynamic_update_slice_in_dim(
         flat, x_loc.reshape((-1,) + trail), shard * (n_loc * n_pad), axis=0
     )
+    if not trail:
+        from ..core.sparse import maybe_tiled_take
+
+        return jax.lax.psum(maybe_tiled_take(flat, dualT).sum(axis=0), axis)
     return jax.lax.psum(flat[dualT].sum(axis=0), axis)
 
 
@@ -237,6 +248,10 @@ def scatter_add_subdomain(
             [x_sub.reshape((-1,) + trail),
              jnp.zeros((1,) + trail, x_sub.dtype)]
         )
+        if not trail:
+            from ..core.sparse import maybe_tiled_take
+
+            return maybe_tiled_take(flat, dualT).sum(axis=0)
         return flat[dualT].sum(axis=0)
     out = jnp.zeros((n_glob + 1,) + trail, x_sub.dtype)
     out = out.at[sub2glob.reshape(-1)].add(x_sub.reshape((-1,) + trail))
