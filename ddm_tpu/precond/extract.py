@@ -79,6 +79,16 @@ def _rect_place_jit(meta, offsets, unit_padding_diag: bool):
     ))
 
 
+def _extract_oneshot_budget() -> int:
+    """Byte budget above which the extraction's HBM-heavy stage runs in
+    subdomain slabs.  Env-tunable so tests can force the chunked/donated
+    paths at CPU sizes (the r4 unstructured-audit OOM fixes engage only
+    above 8 GB otherwise)."""
+    import os
+
+    return int(os.environ.get("DDM_EXTRACT_ONESHOT_BYTES", 8 << 30))
+
+
 def _rect_extract(ell, valid, rect, unit_padding_diag: bool):
     """Canvas extraction, one-shot when the band array fits HBM, else the
     gather stage runs full-batch (small) and the HBM-heavy placement stage
@@ -89,7 +99,7 @@ def _rect_extract(ell, valid, rect, unit_padding_diag: bool):
     n_sub, n_pad = valid.shape
     # placement holds band + dense + update double-buffers: ~4 batch-sized
     # f64 temporaries
-    one_shot_ok = n_sub * n_pad * n_pad * 8 * 4 <= (8 << 30)
+    one_shot_ok = n_sub * n_pad * n_pad * 8 * 4 <= _extract_oneshot_budget()
     if one_shot_ok:
         fn = _rect_dense_jit(rect, ell.offsets, unit_padding_diag)
         return batched(fn(ell.valsT, valid))
@@ -146,7 +156,7 @@ def extract_subdomain_dense(
     # chunk the subdomain batch through it when the one-shot would not fit
     # (same rule as the canvas placement stage, measured r4 at the 3-D
     # bench: 512 x 1000 x 1001 f64 one-shot exhausted HBM)
-    if n_sub * n_pad * n_pad * 8 * 4 > (8 << 30):
+    if n_sub * n_pad * n_pad * 8 * 4 > _extract_oneshot_budget():
         from ..solvers.direct import batch_chunk_size, chunked_batch
 
         chunk = batch_chunk_size(n_pad, 8, live_buffers=6)

@@ -116,3 +116,50 @@ def test_shrink_validation():
         pou_weights(topo, "distance", shrink=2)  # must be < overlap
     with pytest.raises(ValueError):
         pou_weights(topo, "distance", shrink=-1)
+
+
+def test_general_extraction_chunked_parity(monkeypatch):
+    """Regression for the r4 unstructured-audit OOM fixes: drive the
+    GENERAL (non-canvas) extraction + stamp-sum Neumann + geneo build at a
+    size where the chunked/donated slab paths actually engage
+    (DDM_EXTRACT_ONESHOT_BYTES + DDM_TPU_BATCH_CHUNK forced small), and pin
+    bitwise extraction parity + end-to-end solution parity against the
+    one-shot paths."""
+    import jax.numpy as jnp
+
+    from ddm_tpu.api import build_preconditioner, default_ptree, \
+        setup_problem, solve
+    from ddm_tpu.core.indexmaps import extraction_map
+    from ddm_tpu.core.mesh import batched
+    from ddm_tpu.fem import problems as pm
+    from ddm_tpu.fem.grids import refine
+    from ddm_tpu.fem.msh import read_msh
+    from ddm_tpu.precond.extract import extract_subdomain_dense
+
+    from conftest import reference_mesh
+
+    grid = refine(read_msh(reference_mesh("lshape.msh")), 1)
+    pt = default_ptree()
+    pt["overlap"] = 2
+    pt["coarsespace.type"] = "geneo"
+    pt["geneo.eigensolver.nev"] = 4
+    pt["geneo.eigensolver.threshold"] = -1.0
+    p = setup_problem(pt, problem=pm.islands(), grid=grid, n_sub=8)
+    assert getattr(p.topo, "rect", None) is None  # general path
+    lc = batched(extraction_map(p.topo, np.asarray(p.A.colsT).T))
+    s2g, val = batched(p.topo.sub2glob), batched(p.topo.valid)
+
+    E_one = np.asarray(extract_subdomain_dense(p.A, s2g, val, lc))
+    res_one = solve(p)
+
+    # force every slab/donated path on
+    monkeypatch.setenv("DDM_EXTRACT_ONESHOT_BYTES", "1")
+    monkeypatch.setenv("DDM_TPU_BATCH_CHUNK", "3")  # 8 subdomains -> 3 slabs
+    E_chunk = np.asarray(extract_subdomain_dense(p.A, s2g, val, lc))
+    np.testing.assert_array_equal(E_one, E_chunk)
+
+    p2 = setup_problem(pt, problem=pm.islands(), grid=grid, n_sub=8)
+    res_chunk = solve(p2)
+    assert int(res_chunk.iterations) == int(res_one.iterations)
+    x1, x2 = np.asarray(res_one.x), np.asarray(res_chunk.x)
+    assert np.linalg.norm(x1 - x2) <= 1e-10 * np.linalg.norm(x1)
