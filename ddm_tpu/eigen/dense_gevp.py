@@ -81,6 +81,15 @@ def _gevp_white_jit(A, C, M, Aw, params, reg=1e-12, spd=True):
     return solve_gevp_dense(A, C, params, reg=reg, spd=spd, whiten=(M, Aw))
 
 
+@partial(jax.jit, static_argnames=("params", "reg", "spd"))
+def _gevp_white_thin_jit(A, C, M, Areg, params, reg=1e-12, spd=True):
+    """Probe-accepted whitener: Aw = M Areg M^T was never formed (two
+    square f64 matmuls saved); the Rayleigh-Ritz metric is computed thin
+    from Areg instead (solve_gevp_dense metric_mat)."""
+    return solve_gevp_dense(A, C, params, reg=reg, spd=spd,
+                            whiten=(M, None), metric_mat=Areg)
+
+
 def _prep_spd_pencil(A, C, shift, reg):
     """The sigma-shifted, diagonally regularized SPD pencil matrix the
     whitener factors (identical to the in-jit prep of solve_gevp_dense)."""
@@ -121,10 +130,13 @@ def solve_gevp_dense_auto(
     downcast = prec == "f32" and A.dtype == jnp.float64
     if params.whiten == "chol" or not (spd and downcast):
         return solve_gevp_dense_jit(A, C, params, reg=reg, spd=spd)
-    from ..solvers.direct import staged_whiten_batched
+    from ..solvers.direct import staged_whiten_estimate
 
     Areg = _prep_jit()(A, C, params.shift, reg)
-    M, Aw, _ = staged_whiten_batched(Areg)
+    M, Aw, _ = staged_whiten_estimate(Areg)
+    if Aw is None:
+        # probe-accepted stage-0 whitener: Aw never formed, thin metric
+        return _gevp_white_thin_jit(A, C, M, Areg, params, reg=reg, spd=spd)
     return _gevp_white_jit(A, C, M, Aw, params, reg=reg, spd=spd)
 
 
@@ -135,6 +147,7 @@ def solve_gevp_dense(
     reg: float = 1e-12,
     spd: bool = True,
     whiten=None,
+    metric_mat=None,
 ):
     """Solve the batched pencil (A, C), keep the smallest-lambda eigenpairs.
 
@@ -155,7 +168,10 @@ def solve_gevp_dense(
     ``Aw = Linv Areg Linv^T ~ I`` (from staged_whiten_batched via
     solve_gevp_dense_auto); ``Aw`` enters the generalized Rayleigh-Ritz as
     the metric, making the returned pairs exact Ritz pairs of the true
-    pencil even for an inexact whitener.
+    pencil even for an inexact whitener.  ``Aw`` may be None with
+    ``metric_mat=Areg`` supplied instead (probe-accepted stage-0 whitener):
+    the metric is then computed THIN, G = (Linv^T W)^T Areg (Linv^T W) —
+    identical math, no (p, p) Aw ever materialized.
     """
     n_sub, p, _ = A.shape
     m = min(params.max_kept, p)
@@ -308,15 +324,22 @@ def solve_gevp_dense(
         SW = jnp.einsum("spq,sqk->spk", S64, W)
         T = jnp.einsum("spk,spl->skl", W, SW)
         T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
-        if Aw is None:
-            # exact f64 whitener: the metric is I up to eps_ds * cond
-            G = jnp.einsum("spk,spl->skl", W, W)
-        else:
+        if Aw is not None:
             # staged whitener: use the actual whitened metric Aw = I + E, so
             # the Ritz pairs are exact for the true pencil regardless of the
             # residual whitening error E (one extra thin f64 matmul)
             AwW = jnp.einsum("spq,sqk->spk", Aw, W)
             G = jnp.einsum("spk,spl->skl", W, AwW)
+        elif metric_mat is not None:
+            # probe-accepted whitener (Aw never formed): same metric
+            # computed thin, G = W^T (Linv Areg Linv^T) W
+            #              = (Linv^T W)^T Areg (Linv^T W)
+            Y = jnp.einsum("sqp,sqk->spk", Linv, W)
+            G = jnp.einsum("spk,spl->skl", Y,
+                           jnp.einsum("spq,sqk->spk", metric_mat, Y))
+        else:
+            # exact f64 whitener: the metric is I up to eps_ds * cond
+            G = jnp.einsum("spk,spl->skl", W, W)
         G = 0.5 * (G + jnp.swapaxes(G, 1, 2))
         G = G + (1e-14 * kw) * jnp.eye(kw, dtype=out_dtype)[None]
         Lg = jnp.linalg.cholesky(G)

@@ -765,6 +765,65 @@ def _whiten_stage_jit():
     return jax.jit(_whiten_stage)
 
 
+def _whiten_probe(Areg: jnp.ndarray, n_probes: int = 8):
+    """Stage-0 whitening factor + Hutchinson residual ESTIMATE, without
+    forming Aw = M Areg M^T (two (p,p) f64 square matmuls — 3.2 s of the
+    3-D bench GEVP, 0.95 s of the 2-D, round-5 arithmetic).
+
+    ||E||_F^2 = E_z ||E z||^2 for Rademacher z, so k probes estimate the
+    residual with relative std ~ sqrt(2/k); the accept decision this feeds
+    only controls the REFINEMENT's convergence rate — the generalized
+    Rayleigh-Ritz consumes the (thin) whitened metric exactly either way —
+    so estimator noise cannot bias the returned eigenpairs.
+    """
+    n_sub, p, _ = Areg.shape
+    eye = jnp.eye(p, dtype=Areg.dtype)
+    A32 = Areg.astype(jnp.float32)
+    L32 = cholesky_batched(A32)
+    eye32 = jnp.broadcast_to(jnp.eye(p, dtype=jnp.float32), A32.shape)
+    Li32 = jax.lax.linalg.triangular_solve(
+        L32, eye32, left_side=True, lower=True
+    )
+    M1 = Li32.astype(Areg.dtype)
+    ok = jnp.isfinite(M1).all(axis=(1, 2))
+    M1 = jnp.where(ok[:, None, None], M1, jnp.broadcast_to(eye, Areg.shape))
+    # E z = M1 Areg M1^T z - z, three thin f64 matmuls
+    z = (jax.random.rademacher(
+        jax.random.PRNGKey(0), (n_sub, p, n_probes), jnp.int8)
+    ).astype(Areg.dtype)
+    Ez = jnp.einsum("spq,sqk->spk", M1,
+                    jnp.einsum("spq,sqk->spk", Areg,
+                               jnp.einsum("sqp,sqk->spk", M1, z))) - z
+    r2 = (Ez * Ez).sum(axis=(1, 2)) / n_probes
+    resid = jnp.sqrt(jnp.maximum(r2, 0.0))
+    return M1, jnp.where(ok, resid, jnp.inf)
+
+
+@lru_cache(maxsize=4)
+def _whiten_probe_jit():
+    return jax.jit(_whiten_probe, static_argnames=("n_probes",))
+
+
+def staged_whiten_estimate(Areg: jnp.ndarray, rtol: float | None = None):
+    """Probe-accepted stage-0 whitening: returns ``(M, None, resid)`` when
+    the estimated stage-0 residual meets ``rtol`` for every subdomain (the
+    common case at bench scale: measured stage-0 residuals 9.3e-5 median /
+    3.1e-3 max vs rtol 1e-2), skipping the Aw formation entirely; falls
+    back to :func:`staged_whiten_batched` (which forms Aw and escalates
+    stages) otherwise.  ``DDM_WHITEN_PROBE=0`` disables the probe path.
+    """
+    import os
+
+    if rtol is None:
+        rtol = float(os.environ.get("DDM_WHITEN_RTOL", WHITEN_RTOL))
+    if os.environ.get("DDM_WHITEN_PROBE", "1") != "0":
+        M1, r_dev = _whiten_probe_jit()(Areg)
+        r = np.asarray(r_dev)
+        if (r < rtol).all():
+            return M1, None, r
+    return staged_whiten_batched(Areg, rtol=rtol)
+
+
 @lru_cache(maxsize=4)
 def _compose_jit():
     return jax.jit(lambda M1, M: jnp.einsum("spq,sqr->spr", M1, M))

@@ -243,3 +243,53 @@ def test_algebraic_geneo():
                     restart=50)
     assert bool(r.converged)
     assert int(r.iterations) <= 60
+
+
+def test_probe_whitener_thin_metric_matches_batched():
+    """Round-5 probe-accepted stage-0 whitener (staged_whiten_estimate +
+    the thin Rayleigh-Ritz metric): on moderate-cond pencils where the
+    stage-0 residual meets WHITEN_RTOL, the Aw-free path must reproduce the
+    Aw-forming staged path's eigenpairs."""
+    import os
+    from dataclasses import replace
+
+    from ddm_tpu.eigen import solve_gevp_dense_auto
+    from ddm_tpu.solvers.direct import staged_whiten_estimate
+
+    rng = np.random.default_rng(11)
+    n_sub, p, m = 4, 96, 6
+    As, Cs = [], []
+    for s in range(n_sub):
+        Q = np.linalg.qr(rng.standard_normal((p, p)))[0]
+        d = 10.0 ** rng.uniform(-4, 0, size=p)  # cond ~ 1e4: stage-0 accepts
+        A = (Q * d) @ Q.T
+        w = rng.uniform(0.3, 1.0, p)
+        C = (A * w[None, :] * w[:, None]) + 1e-8 * np.eye(p)
+        As.append(0.5 * (A + A.T))
+        Cs.append(0.5 * (C + C.T))
+    A = jnp.asarray(np.stack(As))
+    C = jnp.asarray(np.stack(Cs))
+    params = EigensolverParams(
+        nev=m, threshold=-1.0, precision="f32", refine_iters=4,
+        refine_buf=24, whiten="staged",
+    )
+    # the probe must actually accept at this conditioning
+    from ddm_tpu.eigen.dense_gevp import _prep_jit
+    Areg = _prep_jit()(A, C, params.shift, 1e-12)
+    M, Aw, r = staged_whiten_estimate(Areg)
+    assert Aw is None, f"probe should accept stage-0 here (resid {r})"
+
+    lam_thin, V_thin, _ = solve_gevp_dense_auto(A, C, params)
+    os.environ["DDM_WHITEN_PROBE"] = "0"
+    try:
+        lam_b, V_b, _ = solve_gevp_dense_auto(A, C, params)
+    finally:
+        os.environ.pop("DDM_WHITEN_PROBE")
+    np.testing.assert_allclose(
+        np.asarray(lam_thin), np.asarray(lam_b), rtol=1e-6
+    )
+    for s in range(n_sub):
+        W1 = np.linalg.qr(np.asarray(V_thin[s]).T)[0]
+        W2 = np.linalg.qr(np.asarray(V_b[s]).T)[0]
+        sv = np.linalg.svd(W1.T @ W2, compute_uv=False)
+        assert sv.min() > 1.0 - 1e-6
