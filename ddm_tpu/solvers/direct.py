@@ -715,15 +715,23 @@ def newton_inverse_batched(A: jnp.ndarray, store_dtype=None,
             r0 = float(_seed_resid_jit()(Ac, X))
             if np.isfinite(r0) and r0 < rtol:
                 return X
+            if os.environ.get("DDM_NEWTON_DEBUG"):
+                print(f"[newton] chunk seed resid {r0:.3g} "
+                      f"(rtol {rtol:.3g})", flush=True)
         prev = np.inf
-        for _ in range(max_steps):
+        for step in range(max_steps):
             X, r = _newton_step_jit()(Ac, X)
             rv = float(r)
+            if os.environ.get("DDM_NEWTON_DEBUG"):
+                print(f"[newton] step {step} resid {rv:.3g}", flush=True)
             if rv < rtol:
                 return X
             if not np.isfinite(rv) or (rv >= prev and rv > 1.0):
                 break  # seed divergent for some subdomain in this chunk
             prev = rv
+        if os.environ.get("DDM_NEWTON_DEBUG"):
+            print("[newton] chunk fell back to exact f64 cholesky",
+                  flush=True)
         # exact fallback: the measured-safe f64 Cholesky pipeline
         return factor_batched_jit("cholesky", "inverse", 0)(Ac).inv
 
