@@ -214,3 +214,34 @@ def test_seed_accept_returns_raw_seed(monkeypatch):
     if est > 1e-8:
         got2 = direct.newton_inverse_batched(Aj, rtol=est / 10)
         assert not np.array_equal(np.asarray(got2.inv), np.asarray(seed))
+
+
+def test_whitened_seed_accept_criterion():
+    """r5: preconditioner-grade rtol (>= 1e-2) accepts on the whitened
+    residual ||Li A Li^T - I||_F; the estimator must track the true value,
+    and a seed whose PLAIN residual exceeds rtol while the whitened one
+    meets it must be accepted (the unstructured-audit regime)."""
+    from ddm_tpu.solvers import direct
+
+    rng = np.random.default_rng(5)
+    p = 80
+    # strong diagonal scaling: plain ||AX - I|| inflated by cond(Li), the
+    # whitened residual stays ~ f32-factor class
+    d = 10.0 ** np.linspace(-3.5, 0, p)
+    B = rng.standard_normal((2, p, p))
+    A = B @ np.swapaxes(B, 1, 2) + p * np.eye(p)
+    A = d[None, :, None] * A * d[None, None, :]
+    Aj = jnp.asarray(A)
+    X, Li = direct._newton_seed_jit()(Aj, with_factor=True)
+    rw_est = float(direct._whitened_seed_resid_jit()(Aj, Li))
+    Lin = np.asarray(Li)
+    W = np.einsum("spq,sqr,str->spt", Lin, A, Lin) - np.eye(p)
+    rw_true = np.linalg.norm(W, axis=(1, 2)).max()
+    assert rw_est == pytest.approx(rw_true, rel=0.75) or (
+        rw_est < 1e-5 and rw_true < 1e-5
+    )
+    r_plain = float(direct._seed_resid_jit()(Aj, X))
+    assert rw_true <= r_plain * 1.0001  # whitened is the tighter measure
+    if rw_true < 0.4:
+        got = direct.newton_inverse_batched(Aj, rtol=0.4)
+        np.testing.assert_array_equal(np.asarray(got.inv), np.asarray(X))
