@@ -128,11 +128,19 @@ def _pairs_device(A_sub, V, pi, pj, m_pair, *, n_sub, nev):
         [jnp.sum(A_sub * V[:, k, None, :], axis=2) for k in range(nev)],
         axis=2,
     )
-    # gather v_jl onto i's local numbering: (n_pairs, nev, n_pad)
+    # gather v_jl onto i's local numbering: (n_pairs, nev, n_pad).  As a
+    # FLAT 1-D gather through maybe_tiled_take: the 3-axis advanced
+    # indexing executes element-at-a-time on TPU (~0.45 s for 14M elements
+    # at the 2-D bench before the shift-grouped fast path; this general
+    # path serves unstructured topologies), the tiled row-gather is ~1.7x
+    from ..core.sparse import maybe_tiled_take
+
     Vpad = jnp.concatenate([V, jnp.zeros((n_sub, nev, 1), V.dtype)], axis=2)
-    Vj_on_i = Vpad[
-        pj[:, None, None], jnp.arange(nev)[None, :, None], m_pair[:, None, :]
-    ]
+    w = Vpad.shape[2]
+    flat_idx = ((pj[:, None, None] * nev
+                 + jnp.arange(nev)[None, :, None]) * w
+                + m_pair[:, None, :])
+    Vj_on_i = maybe_tiled_take(Vpad.reshape(-1), flat_idx)
     # blocks: E_pair[x, k, l] = sum_p (A^(i) v_ik)[p] * v_jl[p]
     #                         = v_jl^T A v_ik  ->  E[(j,l), (i,k)]
     E_pair = jnp.einsum("xpk,xlp->xkl", W[pi], Vj_on_i)
