@@ -68,11 +68,18 @@ def maybe_tiled_take(xp: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     plain 1-D gathers execute element-at-a-time, ~14 ns/element), the plain
     gather on CPU (XLA:CPU gathers natively — the tiled formulation only
     costs there).  Exact either way (pure data movement).
-    ``DDM_TILED_GATHER=0`` reverts to the plain gather everywhere."""
+    ``DDM_TILED_GATHER=0`` reverts to the plain gather everywhere.
+
+    HBM guard: the row-gather materializes an (idx.size, tile) stream whose
+    minor dim is lane-PADDED to 128 regardless of the tile width (measured
+    r5: a 13.9M-index gather at tile 32 compiled a 6.6 GB temp x2 and
+    OOMed the unstructured pairs build) — very large index sets keep the
+    element-at-a-time gather, which is slower but O(idx.size)."""
     import jax
 
     if (jax.default_backend() == "cpu"
-            or os.environ.get("DDM_TILED_GATHER", "1") == "0"):
+            or os.environ.get("DDM_TILED_GATHER", "1") == "0"
+            or idx.size * 128 * xp.dtype.itemsize > (2 << 30)):
         return xp[idx]
     return tiled_take(xp, idx, _TILED_TILE)
 
