@@ -700,28 +700,40 @@ def _whitened_seed_sigma_jit():
 
 def _plain_sigma_est(A: jnp.ndarray, X: jnp.ndarray,
                      iters: int = 10, nvec: int = 2):
-    """Power-iteration estimate of max_s sigma(E_s), E = I - X A — the
-    post-step verification of the computed-step Newton path.  E is similar
-    to the symmetric I - X^{1/2} A X^{1/2} (X, A SPD), so its spectrum is
-    real and power iteration applies; the converged |lambda| is read off
-    ||E v|| of the normalized iterate."""
+    """Spectral-radius estimate of E = I - X A — the post-step verification
+    of the computed-step Newton path.
+
+    E is severely NONNORMAL in coordinates (||E||_2 ~ cond-inflated, the
+    r5 audit read 5.4e4 while the eigenvalues were ~0.5), but it is
+    SELF-ADJOINT in the A-inner product: <Eu, v>_A = u^T A v - u^T A X A v
+    is symmetric in (u, v).  Power iteration therefore runs with A-norms
+    and an A-Rayleigh quotient, which converges like the symmetric case —
+    a plain 2-norm power iteration reads the nonnormal transient instead
+    of the spectrum and never accepts."""
     n_sub, p, _ = A.shape
     V = jax.random.normal(jax.random.PRNGKey(2), (nvec, n_sub, p),
                           dtype=A.dtype)
 
-    def emul(v):
-        av = (A * v[:, None, :]).sum(-1)
+    def amul(v):
+        return (A * v[:, None, :]).sum(-1)
+
+    def emul(v, av):
         return v - (X * av[:, None, :]).sum(-1)
 
     sig = jnp.zeros(n_sub, A.dtype)
     for j in range(nvec):
         v = V[j]
-        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
         for _ in range(iters):
-            w = emul(v)
-            nw = jnp.linalg.norm(w, axis=1, keepdims=True)
-            v = w / jnp.maximum(nw, 1e-300)
-        sig = jnp.maximum(sig, jnp.linalg.norm(emul(v), axis=1))
+            av = amul(v)
+            w = emul(v, av)
+            aw = amul(w)
+            na = jnp.sqrt(jnp.maximum((w * aw).sum(1, keepdims=True), 1e-300))
+            v = w / na
+        av = amul(v)
+        w = emul(v, av)
+        # A-Rayleigh quotient of the A-normalized iterate: <v, Ev>_A
+        lam = jnp.abs((av * w).sum(1)) / jnp.maximum((v * av).sum(1), 1e-300)
+        sig = jnp.maximum(sig, lam)
     return jnp.max(sig)
 
 

@@ -245,3 +245,41 @@ def test_whitened_seed_accept_criterion():
     if rw_true < 0.4:
         got = direct.newton_inverse_batched(Aj, rtol=0.4)
         np.testing.assert_array_equal(np.asarray(got.inv), np.asarray(X))
+
+
+def test_a_inner_product_sigma_estimator():
+    """_plain_sigma_est must read the SPECTRAL RADIUS of E = I - XA, not
+    its (cond-inflated) nonnormal 2-norm: built here with a known spectrum
+    and strong diagonal scaling, the 2-norm is orders of magnitude above
+    the spectral radius."""
+    from ddm_tpu.solvers import direct
+
+    rng = np.random.default_rng(3)
+    p = 60
+    d = 10.0 ** np.linspace(-3, 0, p)
+    B = rng.standard_normal((2, p, p))
+    A = B @ np.swapaxes(B, 1, 2) + p * np.eye(p)
+    A = d[None, :, None] * A * d[None, None, :]
+    # X = A^{-1} (I + E) with a small SYMMETRIC-in-A perturbation:
+    # X = A^-1 + s * A^-1 S A^-1-ish; simplest: X = Ainv @ (I + P) with
+    # P = V diag(mu) V^{-1} built A-self-adjointly via a congruence
+    Ainv = np.linalg.inv(A)
+    rho_true = 0.0
+    Xs = []
+    for s in range(2):
+        M = rng.standard_normal((p, p)) * 0.05
+        S = 0.5 * (M + M.T)  # symmetric -> A^{-1}S is A-self-adjoint... use
+        X = Ainv[s] + Ainv[s] @ S @ Ainv[s]
+        E = np.eye(p) - X @ A[s]
+        rho_true = max(rho_true, np.abs(np.linalg.eigvals(E)).max())
+        Xs.append(X)
+    X = jnp.asarray(np.stack(Xs))
+    est = float(direct._plain_sigma_jit()(jnp.asarray(A), X))
+    two_norm = max(
+        np.linalg.norm(np.eye(p) - np.asarray(X[s]) @ A[s], 2)
+        for s in range(2)
+    )
+    # the estimator must track the spectral radius, not the 2-norm
+    assert est == pytest.approx(rho_true, rel=0.3), (est, rho_true, two_norm)
+    if two_norm > 10 * rho_true:
+        assert est < two_norm / 5
