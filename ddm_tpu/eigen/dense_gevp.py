@@ -239,7 +239,35 @@ def solve_gevp_dense(
     # f32 on TPU (f64 emulated matmuls/eigh are 10-100x slower); the
     # Cholesky/Linv stay f64 and the selected subspace is refined back to
     # f64 quality below with cheap nev-wide f64 ops
-    if downcast:
+    import os as _os
+
+    thin_s = (
+        downcast
+        and whiten is not None
+        and metric_mat is not None
+        and _os.environ.get("DDM_GEVP_THIN_S", "1") != "0"
+    )
+    if thin_s:
+        # probe-accepted whitener path (r5): S64 is NEVER formed — the f32
+        # seed uses an S formed by two fast NATIVE f32 matmuls, and every
+        # f64 refinement application of S runs as a 3-thin-matmul triple
+        # Linv (C (Linv^T W)).  At k = m+buf << p the thin triples cost
+        # less than the two emulated-f64 square matmuls they replace
+        # (131 GFLOP/chunk each at p=1760 — ~4.4 s of the unstructured
+        # audit GEVP, ~3.2 s of the 3-D bench).
+        Linv32 = Linv.astype(jnp.float32)
+        C32 = C.astype(jnp.float32)
+        S = jnp.einsum("spq,sqr->spr", Linv32, C32)
+        S = jnp.einsum("spq,srq->spr", S, Linv32)
+        S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
+        S64 = None
+
+        def s64mul(W):
+            return jnp.einsum(
+                "spq,sqk->spk", Linv,
+                jnp.einsum("spq,sqk->spk", C,
+                           jnp.einsum("sqp,sqk->spk", Linv, W)))
+    elif downcast:
         # form the whitened operator ONCE in f64: two SQUARE matmuls run at
         # the MXU's emulated-f64 rate (~640 GF/s-equiv) — measured 0.32 s at
         # (256,464,464) vs ~0.95 s for the refinement loop's five thin
@@ -250,6 +278,9 @@ def solve_gevp_dense(
         S64 = jnp.einsum("spq,srq->spr", S64, Linv)  # Linv C Linv^T
         S64 = 0.5 * (S64 + jnp.swapaxes(S64, 1, 2))
         S = S64.astype(jnp.float32)
+
+        def s64mul(W):
+            return jnp.einsum("spq,sqk->spk", S64, W)
     else:
         S = jnp.einsum("spq,sqr,str->spt", Linv, C, Linv)
         S = 0.5 * (S + jnp.swapaxes(S, 1, 2))
@@ -319,9 +350,9 @@ def solve_gevp_dense(
 
         W = Wt[:, :, -kw:][:, :, ::-1].astype(out_dtype)
         for _ in range(params.refine_iters):
-            W = ortho_cols_f32(jnp.einsum("spq,sqk->spk", S64, W))
+            W = ortho_cols_f32(s64mul(W))
         # generalized Rayleigh-Ritz on the refined basis, all-f64 small ops
-        SW = jnp.einsum("spq,sqk->spk", S64, W)
+        SW = s64mul(W)
         T = jnp.einsum("spk,spl->skl", W, SW)
         T = 0.5 * (T + jnp.swapaxes(T, 1, 2))
         if Aw is not None:
