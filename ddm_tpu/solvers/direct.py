@@ -600,16 +600,23 @@ def _f32_seed_inverse(A: jnp.ndarray, with_factor: bool = False):
     full eps32*cond(A) error (~0.36 Frobenius residual on the equilibrated
     contrast-1e6 bench batch) and is only useful as a Newton seed.
 
-    with_factor: also return the f64-promoted inverse factor Li (X = Li^T
-    Li) — the seed-accept test measures the SYMMETRIC whitened residual
-    W = Li A Li^T - I through it (see newton_inverse_batched)."""
+    with_factor: form the product X = Li^T Li in F64 (from the f64-cast
+    factor) and return (X, Li).  The f32 product of the plain variant
+    carries an ELEMENTWISE fl32 rounding of X whose multiplicative error
+    A dX reaches ~eps32 * cond(A) — measured r5 on the unstructured audit:
+    sigma(I - X A) ~ 40 from the f32 product alone while the factor's own
+    whitened residual was 0.6 — so the accept path must use the f64
+    product (one square f64 matmul per chunk) for the spectral test to
+    mean anything."""
     A32 = A.astype(jnp.float32)
     L32 = jnp.linalg.cholesky(A32)
     eye = jnp.broadcast_to(jnp.eye(A.shape[-1], dtype=jnp.float32), A32.shape)
     Li = jax.lax.linalg.triangular_solve(L32, eye, left_side=True, lower=True)
-    X0 = jnp.einsum("sqp,sqr->spr", Li, Li)
     if with_factor:
-        return X0.astype(A.dtype), Li.astype(A.dtype)
+        Li64 = Li.astype(A.dtype)
+        X0 = jnp.einsum("sqp,sqr->spr", Li64, Li64)
+        return X0, Li64
+    X0 = jnp.einsum("sqp,sqr->spr", Li, Li)
     return X0.astype(A.dtype)
 
 
@@ -656,46 +663,6 @@ def _whitened_seed_resid_est(A: jnp.ndarray, Li: jnp.ndarray, k: int = 8):
 @lru_cache(maxsize=4)
 def _whitened_seed_resid_jit():
     return jax.jit(_whitened_seed_resid_est, static_argnames=("k",))
-
-
-def _whitened_seed_sigma_est(A: jnp.ndarray, Li: jnp.ndarray,
-                             iters: int = 10, nvec: int = 2):
-    """Power-iteration estimate of max_s sigma_max(W_s),
-    W = Li A Li^T - I (symmetric).
-
-    sigma_max(W) is the EXACT spectral criterion for the seed X = Li^T Li:
-    the preconditioned Rayleigh quotients x^T X x / x^T A^{-1} x lie in
-    [1 - sigma, 1 + sigma].  ||W||_F aggregates all p eigenvalues
-    (sqrt(p)-inflated for the broad-spectrum f32 noise that dominates W at
-    large p: the unstructured audit chunks read ||W||_F = 0.556 at p=1760
-    while sigma_max is far smaller), so the norm test rejected seeds whose
-    spectral perturbation was acceptable.  Power iteration on the
-    symmetric W converges to sigma_max from above-random starts; nvec
-    starts guard eigenvector-orthogonal bad luck."""
-    n_sub, p, _ = A.shape
-    V = jax.random.normal(jax.random.PRNGKey(1), (nvec, n_sub, p),
-                          dtype=A.dtype)
-
-    def wmul(v):  # (n_sub, p) -> W v
-        ltv = (Li * v[:, :, None]).sum(-2)
-        altv = (A * ltv[:, None, :]).sum(-1)
-        return (Li * altv[:, None, :]).sum(-1) - v
-
-    sig = jnp.zeros(n_sub, A.dtype)
-    for j in range(nvec):
-        v = V[j]
-        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
-        for _ in range(iters):
-            w = wmul(v)
-            nw = jnp.linalg.norm(w, axis=1, keepdims=True)
-            v = w / jnp.maximum(nw, 1e-300)
-        sig = jnp.maximum(sig, jnp.abs((v * wmul(v)).sum(1)))
-    return jnp.max(sig)
-
-
-@lru_cache(maxsize=4)
-def _whitened_seed_sigma_jit():
-    return jax.jit(_whitened_seed_sigma_est, static_argnames=("iters", "nvec"))
 
 
 def _plain_sigma_est(A: jnp.ndarray, X: jnp.ndarray,
@@ -817,13 +784,14 @@ def newton_inverse_batched(A: jnp.ndarray, store_dtype=None,
         if seed_accept and max_steps > 0:
             X, Li = _newton_seed_jit()(Ac, with_factor=True)
             if rtol >= 1e-2:
-                # preconditioner-grade stop: the spectral criterion
-                # sigma_max(W), W = Li A Li^T - I (see
-                # _whitened_seed_sigma_est) — the plain ||A X - I||_F is
-                # the same matrix through a similarity, inflated by up to
-                # cond(Li) (measured 0.556 whitened-Frobenius vs 5.4e4
-                # plain on the unstructured audit chunks)
-                sig = float(_whitened_seed_sigma_jit()(Ac, Li))
+                # preconditioner-grade stop: the spectral radius of
+                # I - X A measured on the ACTUAL X in the A-inner product
+                # (_plain_sigma_est; E is A-self-adjoint) — the plain
+                # ||A X - I||_F is cond-inflated by nonnormality (measured
+                # 5.4e4 plain vs ~0.6 spectral on the unstructured audit
+                # chunks), and a factor-based whitened estimate misses the
+                # product rounding of X itself
+                sig = float(_plain_sigma_jit()(Ac, X))
                 if os.environ.get("DDM_NEWTON_DEBUG"):
                     print(f"[newton] chunk seed sigma {sig:.3g} "
                           f"(rtol {rtol:.3g})", flush=True)

@@ -137,7 +137,10 @@ def test_newton_inverse_dd_packing():
     p = 50
     A = rng.standard_normal((2, p, p))
     A = A @ np.swapaxes(A, 1, 2) + p * np.eye(p)
-    got = newton_inverse_batched(jnp.asarray(A), store_dtype="dd")
+    # rtol below what the (r5 f64-product) seed can reach so the Newton
+    # refinement provably engages and the dd pair must carry full accuracy
+    got = newton_inverse_batched(jnp.asarray(A), store_dtype="dd",
+                                 rtol=1e-10)
     assert isinstance(got, BatchedInverseDD)
     inv = np.asarray(got.inv_hi, np.float64) + np.asarray(got.inv_lo, np.float64)
     resid = np.linalg.norm(
@@ -195,7 +198,9 @@ def test_seed_accept_returns_raw_seed(monkeypatch):
     A = d[None, :, None] * A * d[None, None, :]
     Aj = jnp.asarray(A)
 
-    seed = direct._newton_seed_jit()(Aj)
+    # the accept path forms the seed as the F64 product of the f32 factor
+    # (r5) — compare against that variant
+    seed, _Li = direct._newton_seed_jit()(Aj, with_factor=True)
     true_r = np.linalg.norm(
         np.eye(p) - np.einsum("spq,sqr->spr", A, np.asarray(seed)),
         axis=(1, 2),
