@@ -816,7 +816,13 @@ def newton_inverse_batched(A: jnp.ndarray, store_dtype=None,
                               f"steps -> sigma {sig_f:.3g}", flush=True)
                     if np.isfinite(sig_f) and sig_f < rtol:
                         return X
-                    # verification failed: rebuild exactly below
+                    # verification failed: escalate below
+                    X = None
+                else:
+                    # f32-factor NaN or sigma >= 0.9 (Newton would not
+                    # contract usefully): escalate straight to the staged /
+                    # exact fallbacks — the plain-monitored loop reads the
+                    # nonnormal norm and cannot help at this grade
                     X = None
             else:
                 # exact-grade stop: keep the plain forward residual (the
@@ -829,6 +835,25 @@ def newton_inverse_batched(A: jnp.ndarray, store_dtype=None,
                           f"(rtol {rtol:.3g}, plain)", flush=True)
         else:
             X = _newton_seed_jit()(Ac)
+        if X is None and rtol >= 1e-2:
+            # staged-whitening fallback (r5): X = M^T M with M from the
+            # mixed-precision staged whitener — each stage is one f32
+            # Cholesky plus f64 SQUARE matmuls, so chunks whose cond
+            # exceeds the single-f32-factor reach (~1/eps32; the audit's
+            # NaN/sigma>1 chunks) still avoid the scalar-emulated exact
+            # f64 recurrence (~2.9 s/chunk at p=1760 vs ~1 s staged).
+            # Aw = M A M^T = I + E with ||E||_F <= WHITEN_RTOL, and
+            # I - (M^T M) A is similar to -E, so sigma <= rtol by
+            # construction; the cheap A-spectral verify guards the f64
+            # product rounding.
+            M, _, _ = staged_whiten_batched(Ac)
+            Xs = jnp.einsum("sqp,sqr->spr", M, M)
+            sig_s = float(_plain_sigma_jit()(Ac, Xs))
+            if os.environ.get("DDM_NEWTON_DEBUG"):
+                print(f"[newton] staged-whiten fallback sigma {sig_s:.3g}",
+                      flush=True)
+            if np.isfinite(sig_s) and sig_s < rtol:
+                return Xs
         if X is None:
             if os.environ.get("DDM_NEWTON_DEBUG"):
                 print("[newton] chunk fell back to exact f64 cholesky "
