@@ -107,7 +107,7 @@ log(f"  staged-vs-chol lam rel diff: {err:.2e}")
 run_gevp(seed_mode="eigh")
 
 # chunk sweep for the production pipeline
-for ch in (12, 48):
+for ch in (48,):
     os.environ["DDM_TPU_BATCH_CHUNK"] = str(ch)
     timed(f"gevp staged chunk={ch}",
           lambda: chunked_batch(
@@ -119,6 +119,8 @@ os.environ["DDM_TPU_BATCH_CHUNK"] = "24"
 from ddm_tpu.coarse.basis import CoarseBasis
 from ddm_tpu.precond.galerkin import galerkin_coarse_matrix_pairs
 from ddm_tpu.precond.extract import extract_subdomain_dense
+
+del A_neu, C  # HBM: phase 3's A_sub is another 4.1 GB batch
 
 rect = getattr(p.topo, "rect", None)
 A_sub = extract_subdomain_dense(
