@@ -68,6 +68,9 @@ from ddm_tpu.solvers.direct import chunked_batch
 def timed(name, fn, n=2):
     out = None
     for i in range(n):
+        out = None  # release the previous attempt's batches (HBM: the
+        import gc   # backend's value-memoization pins live outputs)
+        gc.collect()
         t0 = time.perf_counter()
         out = fn()
         hard_sync(*jax.tree_util.tree_leaves(out))
