@@ -473,6 +473,11 @@ def run_cpu_baseline(p, nev):
         "factor": t_factor, "eig": t_eig, "coarse": t_coarse,
         "solve": t_solve, "iters": it[0], "converged": info == 0,
         "setup": t_factor + t_eig + t_coarse,
+        # both sides terminate on the ISTL-style PRECONDITIONED defect; the
+        # unpreconditioned truth makes norm-distorted problems (elasticity)
+        # comparable honestly
+        "true_rel_res": float(np.linalg.norm(Asp @ x - b)
+                              / np.linalg.norm(b)),
     }
     log(f"cpu baseline: {out}")
     return out
