@@ -782,6 +782,14 @@ def newton_inverse_batched(A: jnp.ndarray, store_dtype=None,
 
     def _chunk(Ac):
         if seed_accept and max_steps > 0:
+            # tier 1 (the r3c fast path, kept bit-identical for the
+            # structured benches): the cheap f32-product seed, accepted on
+            # the plain Frobenius estimate.  Chunks that fail it (high
+            # cond / nonnormality) escalate to the spectral machinery.
+            X32 = _newton_seed_jit()(Ac)
+            r32 = float(_seed_resid_jit()(Ac, X32))
+            if np.isfinite(r32) and r32 < rtol:
+                return X32
             X, Li = _newton_seed_jit()(Ac, with_factor=True)
             if rtol >= 1e-2:
                 # preconditioner-grade stop: the spectral radius of

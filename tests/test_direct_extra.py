@@ -198,9 +198,9 @@ def test_seed_accept_returns_raw_seed(monkeypatch):
     A = d[None, :, None] * A * d[None, None, :]
     Aj = jnp.asarray(A)
 
-    # the accept path forms the seed as the F64 product of the f32 factor
-    # (r5) — compare against that variant
-    seed, _Li = direct._newton_seed_jit()(Aj, with_factor=True)
+    # tier-1 accept (r5) returns the plain f32-product seed, exactly the
+    # r3c fast path
+    seed = direct._newton_seed_jit()(Aj)
     true_r = np.linalg.norm(
         np.eye(p) - np.einsum("spq,sqr->spr", A, np.asarray(seed)),
         axis=(1, 2),
