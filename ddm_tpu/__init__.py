@@ -39,6 +39,12 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     _cache = _os.path.expanduser("~/.cache/ddm_tpu_jax")
     _os.makedirs(_cache, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # cache EVERYTHING: the r5 compile-bill measurement
+    # (scratch/compile_count_r5.py) found the cold bench bill is ~550 tiny
+    # EAGER op compiles (broadcast_in_dim x96, dynamic_slice x56, ...)
+    # totalling ~250 of 305 s — each under the old 1.0 s threshold, so
+    # every fresh process recompiled all of them through the remote
+    # tunnel.  Disk cost is negligible (KB-class entries).
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 __version__ = "0.1.0"
